@@ -1,0 +1,90 @@
+"""Hand-constructed cycle builders: textbook V/W/F-cycles over the IR.
+
+These play the role of the reference's default generated solver
+(``generate solver`` blocks, e.g. V-cycle with RB-GS omega=1.15, 2 pre /
+1 post smoothing and a CG coarse solve —
+example_problems/Poisson/2D_FD_Poisson_fromL2.exa3:1-14) and of the
+executable documentation in reference ir/reference_cycles.py.  The grammar
+produces equivalent trees; these builders give known-good baselines.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Sequence, Tuple
+
+from ..grids import Grid
+from ..ir import base, system, smoother
+from ..ir import partitioning as part
+
+
+@dataclass
+class LevelContext:
+    """Per-level operator bundle (analogue of grammar.multigrid.Terminals)."""
+    operator: system.Operator
+    restriction: system.Restriction        # this level -> coarser
+    prolongation: system.Prolongation      # coarser -> this level
+    approximation: system.Approximation
+    grid: List[Grid]
+
+
+def smooth(state, level: LevelContext, omega: float, partitioning,
+           smoother_factory: Callable = smoother.generate_collective_jacobi):
+    """One smoothing step: u <- u + omega * P(L)^{-1} (b - A u)."""
+    u, f = state
+    residual = base.Residual(level.operator, u, f)
+    L = smoother_factory(level.operator)
+    correction = base.Multiplication(base.Inverse(L), residual)
+    cycle = base.Cycle(u, f, correction, partitioning=partitioning,
+                       relaxation_factor=omega,
+                       predecessor=getattr(u, "predecessor", None))
+    return cycle, f
+
+
+def v_cycle(levels: Sequence[LevelContext], rhs, *,
+            pre_smoothing: int = 2, post_smoothing: int = 1,
+            omega: float = 1.15, partitioning=part.RedBlack,
+            smoother_factory: Callable = smoother.generate_collective_jacobi,
+            coarse_solver_expression=None,
+            coarse_operator: Optional[system.Operator] = None,
+            gamma: int = 1) -> base.Cycle:
+    """Build a V-cycle (gamma=1) or W-cycle (gamma=2) expression tree.
+
+    ``levels[0]`` is the finest level; ``coarse_operator`` is the operator on
+    the grid below ``levels[-1]`` (the coarsest-grid solve target).
+    """
+
+    def build(level_idx: int, u, f, predecessor=None):
+        level = levels[level_idx]
+        state = (u, f)
+        for _ in range(pre_smoothing):
+            state = smooth(state, level, omega, partitioning, smoother_factory)
+            state[0].predecessor = predecessor
+        u_s, _ = state
+        residual = base.Residual(level.operator, u_s, f)
+        f_c = base.Multiplication(level.restriction, residual)
+        if level_idx + 1 < len(levels):
+            coarse_level = levels[level_idx + 1]
+            u_c = system.ZeroApproximation(coarse_level.grid)
+            correction_c = u_c
+            for _ in range(gamma):
+                correction_c = build(level_idx + 1, correction_c, f_c,
+                                     predecessor)
+            correction = base.Multiplication(level.prolongation, correction_c)
+        else:
+            op_c = coarse_operator
+            if op_c is None:
+                raise ValueError("coarsest-level operator required")
+            cgs = base.CoarseGridSolver(op_c, coarse_solver_expression)
+            correction_c = base.Multiplication(cgs, f_c)
+            correction = base.Multiplication(level.prolongation, correction_c)
+        cycle = base.Cycle(u_s, f, correction, relaxation_factor=1.0,
+                           predecessor=predecessor)
+        state = (cycle, f)
+        for _ in range(post_smoothing):
+            state = smooth(state, level, omega, partitioning, smoother_factory)
+            state[0].predecessor = predecessor
+        return state[0]
+
+    u0 = levels[0].approximation
+    return build(0, u0, rhs)

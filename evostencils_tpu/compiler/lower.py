@@ -1,0 +1,491 @@
+"""Cycle compiler: multigrid expression IR -> jitted JAX programs.
+
+This replaces the reference's entire evaluation backend — ExaSlang emission,
+the external Scala/Java ExaStencils compiler, g++ and subprocess solver runs
+(reference code_generation/exastencils.py:318-925) — with trace-once,
+execute-batched lowering:
+
+* grid functions are tuples of per-field jnp arrays (interior points only),
+* stencil algebra runs at trace time (numpy), producing coefficient fields,
+  batched block inverses and dense coarse factorizations embedded as
+  constants,
+* relaxation factors enter as a *traced* vector indexed by cycle id, so one
+  compiled program serves every relaxation-factor assignment of the same
+  cycle structure (this is what lets whole populations share compilations
+  and be vmapped),
+* red-black partitioned smoothing is two masked half-sweeps with a fresh
+  residual in between, matching the reference's coloring semantics
+  (exastencils.py:659-682) and its LFA symbol
+  (model_based_prediction/convergence.py:104-106).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..grids import Grid
+from ..ir import base, system
+from ..ir import partitioning as part
+from ..ir import transformations
+from ..ir.krylov import KrylovSubspaceMethod
+from ..ops import apply as ops
+from ..ops import solvers
+from ..ops.local_solve import get_block_solve_plan
+from ..stencils import constant, periodic
+
+DIRECT_SOLVE_MAX = 4096
+
+_DENSE_INVERSE_CACHE: dict = {}
+
+
+def field_grids(expr) -> List[Grid]:
+    g = expr.grid
+    return g if isinstance(g, list) else [g]
+
+
+def _zeros_for(grids: List[Grid], dtype):
+    return tuple(jnp.zeros(tuple(g.size), dtype=dtype) for g in grids)
+
+
+def is_function(expr) -> bool:
+    """Grid functions have column shape (n, 1); operators are (n, m)."""
+    return expr.shape[1] == 1
+
+
+def red_black_masks(shape: Tuple[int, ...]):
+    """Node-parity masks: red = even node-index sum; interior index i is
+    node i+1 (ops.apply.LATTICE_ORIGIN)."""
+    idx = np.indices(shape).sum(axis=0) + len(shape) * ops.LATTICE_ORIGIN
+    red = (idx % 2 == 0)
+    return red.astype(np.float64), (~red).astype(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# Dense coarse-grid factorization
+# ---------------------------------------------------------------------------
+
+def _system_entries(op) -> List[List]:
+    if isinstance(op, system.Operator):
+        return op.entries
+    return [[op]]
+
+
+def dense_inverse(op) -> np.ndarray:
+    """Dense inverse of a (small) system operator, cached by stencil content."""
+    entries = _system_entries(op)
+    grids = [row[0].grid for row in entries] if isinstance(op, system.Operator) \
+        else [op.grid]
+    key_parts = []
+    blocks = []
+    for i, row in enumerate(entries):
+        brow = []
+        for j, entry in enumerate(row):
+            st = entry.generate_stencil()
+            ps = periodic.as_periodic(st) if st is not None else None
+            key_parts.append((i, j, ps))
+            brow.append((entry, ps))
+        blocks.append(brow)
+    key = (tuple(key_parts), tuple(tuple(g.size) for g in grids))
+    cached = _DENSE_INVERSE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    sizes = [int(np.prod(g.size)) for g in grids]
+    n = sum(sizes)
+    any_complex = any(
+        isinstance(v, complex) or np.iscomplexobj(np.asarray(v))
+        for row in blocks for _, ps in row if ps is not None
+        for s in ps.constant_entries() for _, v in s.entries)
+    K = np.zeros((n, n), dtype=np.complex128 if any_complex else np.float64)
+    r0 = 0
+    for i, row in enumerate(blocks):
+        c0 = 0
+        for j, (entry, ps) in enumerate(row):
+            if ps is not None and ps.constant_entries():
+                K[r0:r0 + sizes[i], c0:c0 + sizes[j]] = ops.dense_matrix(
+                    ps, grids[j])
+            c0 += sizes[j]
+        r0 += sizes[i]
+    inv = np.linalg.inv(K)
+    _DENSE_INVERSE_CACHE[key] = inv
+    return inv
+
+
+# ---------------------------------------------------------------------------
+# Lowering
+# ---------------------------------------------------------------------------
+
+@dataclass
+class LoweredCycle:
+    """A compiled multigrid cycle step.
+
+    ``step(u_fields, b_fields, omegas) -> u_fields_new`` is jit-compatible;
+    ``omegas`` is a 1-D relaxation-factor vector indexed by cycle id.
+    """
+    step: Callable
+    n_omegas: int
+    default_omegas: np.ndarray
+    grids: List[Grid]
+    operator: object  # the finest-level system operator (for residuals)
+
+
+class _Lowering:
+    def __init__(self, approximation, rhs, omegas):
+        self.omegas = omegas
+        self.env: Dict[int, object] = {}
+        self.memo: Dict[int, object] = {}
+        self.approximation = approximation
+        self.rhs = rhs
+
+    def bind(self, u_fields, b_fields):
+        self.env[id(self.approximation)] = tuple(u_fields)
+        self.env[id(self.rhs)] = tuple(b_fields)
+        if isinstance(self.approximation, system.Approximation):
+            for e, u in zip(self.approximation.entries, u_fields):
+                self.env[id(e)] = (u,)
+        if isinstance(self.rhs, system.RightHandSide):
+            for e, b in zip(self.rhs.entries, b_fields):
+                self.env[id(e)] = (b,)
+        self.dtype = u_fields[0].dtype
+
+    # -- grid functions ----------------------------------------------------
+
+    def eval_function(self, expr):
+        key = id(expr)
+        if key in self.memo:
+            return self.memo[key]
+        result = self._eval_function(expr)
+        self.memo[key] = result
+        return result
+
+    def _eval_function(self, expr):
+        if id(expr) in self.env:
+            return self.env[id(expr)]
+        if isinstance(expr, (system.ZeroApproximation, base.ZeroApproximation)):
+            return _zeros_for(field_grids(expr), self.dtype)
+        if isinstance(expr, base.Cycle):
+            return self.eval_cycle(expr)
+        if isinstance(expr, base.Residual):
+            b = self.eval_function(expr.rhs)
+            x = self.eval_function(expr.approximation)
+            ax = self.apply_operator(expr.operator, x)
+            return tuple(bi - axi for bi, axi in zip(b, ax))
+        if isinstance(expr, base.Multiplication):
+            x = self.eval_function(expr.operand2)
+            return self.apply_operator(expr.operand1, x)
+        if isinstance(expr, base.Addition):
+            a = self.eval_function(expr.operand1)
+            b = self.eval_function(expr.operand2)
+            return tuple(ai + bi for ai, bi in zip(a, b))
+        if isinstance(expr, base.Subtraction):
+            a = self.eval_function(expr.operand1)
+            b = self.eval_function(expr.operand2)
+            return tuple(ai - bi for ai, bi in zip(a, b))
+        if isinstance(expr, base.Scaling):
+            x = self.eval_function(expr.operand)
+            return tuple(expr.factor * xi for xi in x)
+        if isinstance(expr, (system.Approximation, base.Approximation)):
+            raise KeyError(f"unbound grid function {expr}")
+        raise NotImplementedError(f"cannot evaluate {type(expr).__name__} as function")
+
+    # -- cycles ------------------------------------------------------------
+
+    def eval_cycle(self, cycle: base.Cycle):
+        omega = self.omegas[cycle.global_id]
+        x = self.eval_function(cycle.approximation)
+        if cycle.partitioning is part.RedBlack and self._is_smoother(cycle.correction):
+            return self._red_black_sweep(cycle, x, omega)
+        c = self.eval_function(cycle.correction)
+        return tuple(xi + omega * ci for xi, ci in zip(x, c))
+
+    @staticmethod
+    def _is_smoother(corr) -> bool:
+        return (isinstance(corr, base.Multiplication)
+                and isinstance(corr.operand1, base.Inverse)
+                and isinstance(corr.operand2, base.Residual))
+
+    def _red_black_sweep(self, cycle: base.Cycle, x, omega):
+        corr = cycle.correction
+        inverse_op = corr.operand1
+        residual = corr.operand2
+        b = self.eval_function(residual.rhs)
+        A = residual.operator
+        masks = [red_black_masks(tuple(g.size)) for g in field_grids(cycle)]
+
+        def half(u, color):
+            r = tuple(bi - ai for bi, ai in zip(b, self.apply_operator(A, u)))
+            c = self.apply_operator(inverse_op, r)
+            return tuple(ui + omega * jnp.asarray(m[color], ui.dtype) * ci
+                         for ui, ci, m in zip(u, c, masks))
+
+        u1 = half(x, 0)   # red half-sweep first
+        return half(u1, 1)  # black with refreshed red values
+
+    # -- operators ----------------------------------------------------------
+
+    def apply_operator(self, expr, fields: Tuple):
+        if isinstance(expr, base.Inverse):
+            return self.apply_inverse(expr.operand, fields)
+        if isinstance(expr, base.CoarseGridSolver):
+            return self.apply_coarse_solver(expr, fields)
+        if isinstance(expr, KrylovSubspaceMethod):
+            matvec = lambda v: self.apply_operator(expr.operator, v)
+            return solvers.FIXED_KRYLOV[expr.name](matvec, fields, expr.iterations)
+        if isinstance(expr, system.Restriction) or (
+                isinstance(expr, base.Restriction) and not isinstance(expr, base.ZeroRestriction)):
+            return self._apply_restriction(expr, fields)
+        if isinstance(expr, system.Prolongation) or (
+                isinstance(expr, base.Prolongation) and not isinstance(expr, base.ZeroProlongation)):
+            return self._apply_prolongation(expr, fields)
+        if isinstance(expr, system.Operator):
+            return self._apply_system(expr, fields)
+        if isinstance(expr, base.ZeroOperator):
+            return tuple(jnp.zeros_like(f) for f in fields)
+        if isinstance(expr, base.Identity):
+            return fields
+        if isinstance(expr, base.Operator):
+            st = expr.generate_stencil()
+            return (ops.apply_stencil(periodic.as_periodic(st), fields[0]),)
+        if isinstance(expr, (system.Diagonal, system.ElementwiseDiagonal,
+                             base.Diagonal, base.LowerTriangle,
+                             base.UpperTriangle, base.BlockDiagonal)):
+            return self._apply_stencil_expr(expr, fields)
+        if isinstance(expr, base.Multiplication):
+            return self.apply_operator(expr.operand1,
+                                       self.apply_operator(expr.operand2, fields))
+        if isinstance(expr, base.Addition):
+            a = self.apply_operator(expr.operand1, fields)
+            b = self.apply_operator(expr.operand2, fields)
+            return tuple(ai + bi for ai, bi in zip(a, b))
+        if isinstance(expr, base.Subtraction):
+            a = self.apply_operator(expr.operand1, fields)
+            b = self.apply_operator(expr.operand2, fields)
+            return tuple(ai - bi for ai, bi in zip(a, b))
+        if isinstance(expr, base.Scaling):
+            x = self.apply_operator(expr.operand, fields)
+            return tuple(expr.factor * xi for xi in x)
+        if isinstance(expr, base.Transpose):
+            st = expr.generate_stencil()
+            return (ops.apply_stencil(st, fields[0]),)
+        raise NotImplementedError(f"cannot apply {type(expr).__name__}")
+
+    def _apply_system(self, op: system.Operator, fields):
+        out = []
+        for row in op.entries:
+            acc = None
+            for entry, x in zip(row, fields):
+                if isinstance(entry, base.ZeroOperator):
+                    continue
+                (y,) = self.apply_operator(entry, (x,))
+                acc = y if acc is None else acc + y
+            out.append(acc if acc is not None
+                       else jnp.zeros(tuple(row[0].grid.size), self.dtype))
+        return tuple(out)
+
+    def _apply_stencil_expr(self, expr, fields):
+        """Apply by materializing the expression's (periodic) stencil."""
+        ps = periodic.as_periodic(expr.generate_stencil())
+        if ps is None:
+            raise NotImplementedError(f"no stencil for {type(expr).__name__}")
+        return tuple(ops.apply_stencil(ps, f) for f in fields) \
+            if len(fields) > 1 else (ops.apply_stencil(ps, fields[0]),)
+
+    def _apply_restriction(self, expr, fields):
+        entries = expr.entries if isinstance(expr, system.Restriction) else None
+        ops_list = [row[i] for i, row in enumerate(entries)] if entries else [expr]
+        out = []
+        for op, x in zip(ops_list, fields):
+            st = op.generate_stencil()
+            out.append(ops.restrict(st, x))
+        return tuple(out)
+
+    def _apply_prolongation(self, expr, fields):
+        entries = expr.entries if isinstance(expr, system.Prolongation) else None
+        ops_list = [row[i] for i, row in enumerate(entries)] if entries else [expr]
+        out = []
+        for op, x in zip(ops_list, fields):
+            st = op.generate_stencil()
+            out.append(ops.prolong(st, x, tuple(op.fine_grid.size)))
+        return tuple(out)
+
+    # -- inverses (smoother solves) -----------------------------------------
+
+    def apply_inverse(self, L, fields):
+        # decoupled point Jacobi: per-field diagonal reciprocal
+        if isinstance(L, system.Diagonal):
+            op = self._unwrap_operator(L.operand)
+            out = []
+            for i, x in enumerate(fields):
+                ps = periodic.as_periodic(op.entries[i][i].generate_stencil())
+                inv = periodic.inverse(periodic.diagonal(ps))
+                out.append(ops.apply_stencil(inv, x))
+            return tuple(out)
+        # collective point Jacobi: m x m central-coefficient solve per point
+        if isinstance(L, system.ElementwiseDiagonal):
+            op = self._unwrap_operator(L.operand)
+            return self._pointwise_collective_inverse(op, fields)
+        # scalar diagonal
+        if isinstance(L, base.Diagonal):
+            ps = periodic.as_periodic(L.generate_stencil())
+            inv = periodic.inverse(ps)
+            return tuple(ops.apply_stencil(inv, f) for f in fields)
+        # block-diagonal (collective or scalar block Jacobi)
+        if isinstance(L, base.BlockDiagonal):
+            ps = periodic.as_periodic(L.generate_stencil())
+            plan = get_block_solve_plan([[ps]], L.block_size,
+                                        tuple(L.grid.size))
+            return plan.apply(fields)
+        if isinstance(L, system.Operator):
+            return self._system_local_inverse(L, fields)
+        if isinstance(L, base.Operator):
+            ps = periodic.as_periodic(L.generate_stencil())
+            if ps is not None and periodic.is_diagonal(ps):
+                return tuple(ops.apply_stencil(periodic.inverse(ps), f)
+                             for f in fields)
+            if ps is not None and not ps.is_constant:
+                plan = get_block_solve_plan([[ps]], ps.period, tuple(L.grid.size))
+                return plan.apply(fields)
+        # triangular / general small: dense fallback
+        return self._dense_solve(L, fields)
+
+    @staticmethod
+    def _unwrap_operator(expr):
+        while not isinstance(expr, system.Operator):
+            if isinstance(expr, base.UnaryExpression):
+                expr = expr.operand
+            else:
+                raise NotImplementedError(
+                    f"cannot locate system operator under {type(expr).__name__}")
+        return expr
+
+    def _pointwise_collective_inverse(self, op: system.Operator, fields):
+        m = len(op.entries)
+        if m == 1:
+            ps = periodic.as_periodic(op.entries[0][0].generate_stencil())
+            inv = periodic.inverse(periodic.diagonal(ps))
+            return (ops.apply_stencil(inv, fields[0]),)
+        # constant central coefficients -> single m x m inverse
+        D = np.zeros((m, m), dtype=np.complex128)
+        is_complex = False
+        for i in range(m):
+            for j in range(m):
+                ps = periodic.as_periodic(op.entries[i][j].generate_stencil())
+                if ps is None:
+                    continue
+                if not ps.is_constant:
+                    raise NotImplementedError(
+                        "periodic collective point smoother not supported yet")
+                v = ps.to_constant().value_at((0,) * ps.dimension, 0)
+                if isinstance(v, complex):
+                    is_complex = True
+                D[i, j] = v
+        if not is_complex:
+            D = D.real
+        Dinv = np.linalg.inv(D)
+        out = []
+        for i in range(m):
+            acc = None
+            for j in range(m):
+                if Dinv[i, j] == 0:
+                    continue
+                term = jnp.asarray(Dinv[i, j], fields[j].dtype) * fields[j]
+                acc = term if acc is None else acc + term
+            out.append(acc if acc is not None else jnp.zeros_like(fields[i]))
+        return tuple(out)
+
+    def _system_local_inverse(self, op: system.Operator, fields):
+        """Invert a system operator whose entries are block-diagonal periodic
+        stencils (collective block Jacobi) or pointwise-diagonal stencils."""
+        m = len(op.entries)
+        stencils = [[periodic.as_periodic(e.generate_stencil()) for e in row]
+                    for row in op.entries]
+        periods = [ps.period for row in stencils for ps in row if ps is not None]
+        max_period = tuple(max(p[k] for p in periods)
+                           for k in range(len(periods[0])))
+        all_diagonal = all(ps is None or periodic.is_diagonal(ps)
+                           for row in stencils for ps in row)
+        if all_diagonal and max_period == (1,) * len(max_period):
+            return self._pointwise_collective_inverse(op, fields)
+        shape = tuple(op.entries[0][0].grid.size)
+        plan = get_block_solve_plan(stencils, max_period, shape)
+        return plan.apply(fields)
+
+    def _dense_solve(self, L, fields):
+        n = sum(int(np.prod(f.shape)) for f in fields)
+        if n > DIRECT_SOLVE_MAX:
+            raise NotImplementedError(
+                f"dense inverse fallback too large ({n} unknowns) for {L}")
+        inv = dense_inverse(L) if isinstance(L, (system.Operator, base.Operator)) \
+            else self._dense_inverse_of_expression(L, fields)
+        return self._apply_dense(inv, fields)
+
+    def _dense_inverse_of_expression(self, L, fields):
+        grids = field_grids(L)
+        ps = periodic.as_periodic(L.generate_stencil())
+        if ps is None:
+            raise NotImplementedError(f"cannot materialize {L}")
+        K = ops.dense_matrix(ps, grids[0])
+        return np.linalg.inv(K)
+
+    def _apply_dense(self, inv: np.ndarray, fields):
+        flat = jnp.concatenate([f.reshape(-1) for f in fields])
+        dtype = jnp.promote_types(flat.dtype,
+                                  jnp.asarray(inv.reshape(-1)[:1]).dtype)
+        y = jnp.asarray(inv, dtype) @ flat.astype(dtype)
+        out = []
+        o = 0
+        for f in fields:
+            k = int(np.prod(f.shape))
+            out.append(y[o:o + k].reshape(f.shape))
+            o += k
+        return tuple(out)
+
+    # -- coarse-grid solver ---------------------------------------------------
+
+    def apply_coarse_solver(self, cgs: base.CoarseGridSolver, fields):
+        if cgs.expression is not None:
+            # evolved coarse solver: one application of the stored cycle
+            return cgs.expression(fields)
+        op = cgs.operator
+        n = sum(int(np.prod(g.size)) for g in field_grids(op))
+        if n <= DIRECT_SOLVE_MAX:
+            return self._apply_dense(dense_inverse(op), fields)
+        matvec = lambda v: self.apply_operator(op, v)
+        return solvers.cg(matvec, fields, tol=1e-12, maxiter=1000)
+
+
+def lower_cycle(root: base.Cycle, approximation, rhs) -> LoweredCycle:
+    """Lower a cycle expression to a jit-compatible step function."""
+    n = transformations.assign_cycle_ids(root)
+    cycles = transformations.find_nodes(root, base.Cycle)
+    default_omegas = np.array([float(c.relaxation_factor) for c in cycles])
+
+    def step(u_fields, b_fields, omegas):
+        lowering = _Lowering(approximation, rhs, omegas)
+        lowering.bind(u_fields, b_fields)
+        return lowering.eval_function(root)
+
+    # locate the finest operator for residual computation
+    res_nodes = transformations.find_nodes(root, base.Residual)
+    fine_grids = field_grids(root)
+    fine_op = None
+    for r in res_nodes:
+        if field_grids(r) == fine_grids or \
+                [g.size for g in field_grids(r)] == [g.size for g in fine_grids]:
+            fine_op = r.operator
+            break
+
+    return LoweredCycle(step=step, n_omegas=n, default_omegas=default_omegas,
+                        grids=fine_grids, operator=fine_op)
+
+
+def operator_applier(op) -> Callable:
+    """Standalone applier for an operator expression (for outer residuals)."""
+    def apply(fields, _lowering=_Lowering(None, None, None)):
+        _lowering.dtype = fields[0].dtype
+        return _lowering.apply_operator(op, tuple(fields))
+    return apply
