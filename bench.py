@@ -1,0 +1,106 @@
+"""Headline benchmark: stencil DoF/s per chip on the reference V-cycle.
+
+Solves the reference 2D Poisson problem (V-cycle, RB-GS omega=1.15,
+2 pre / 1 post — example_problems/Poisson/2D_FD_Poisson_fromL2.exa3) in f32
+on the available accelerator and reports fine-grid degrees of freedom
+processed per second through full V-cycles.
+
+``vs_baseline`` prices the *same cycle expression* on the reference's own
+roofline machine model (6-core AVX2 CPU, 249.6 GFLOP/s, 45.8 GB/s —
+reference scripts/optimize.py:79-84) via prediction.performance and reports
+measured speedup over that model.
+
+Prints ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from evostencils_tpu.problems.poisson import poisson_2d
+    from evostencils_tpu.compiler.cycles import v_cycle
+    from evostencils_tpu.compiler.lower import lower_cycle
+    from evostencils_tpu.compiler.solve import make_solver
+    from evostencils_tpu.ir import partitioning as part
+    from evostencils_tpu.prediction.performance import (
+        PerformanceEvaluator, REFERENCE_CPU)
+
+    dev = jax.devices()[0]
+    print(f"[bench] device: {dev}", file=sys.stderr)
+
+    max_level, min_level = 12, 5
+    problem = poisson_2d(max_level=max_level, min_level=min_level)
+    problem.dtype = np.float32
+    cycle = v_cycle(problem.level_contexts, problem.rhs_entity,
+                    pre_smoothing=2, post_smoothing=1, omega=1.15,
+                    partitioning=part.RedBlack,
+                    coarse_operator=problem.coarsest_operator)
+    lowered = lower_cycle(cycle, problem.approximation, problem.rhs_entity)
+    b = problem.build_rhs()
+    u0 = tuple(jnp.zeros_like(x) for x in b)
+    omegas = jnp.asarray(lowered.default_omegas, dtype=jnp.float32)
+
+    # --- throughput: K cycles, no convergence checks in the loop ------------
+    # NOTE: the axon relay has ~30 ms per-call latency and async dispatch;
+    # a scalar checksum return forces real execution, K amortizes the RPC.
+    K = 50
+
+    def k_cycles(u, b_fields, om):
+        def body(u, _):
+            return lowered.step(u, b_fields, om), None
+        u, _ = jax.lax.scan(body, u, None, length=K)
+        return sum(jnp.sum(x) for x in u)
+
+    run = jax.jit(k_cycles)
+    t0 = time.perf_counter()
+    float(run(u0, b, omegas))
+    print(f"[bench] compile+first: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(run(u0, b, omegas))
+        times.append(time.perf_counter() - t0)
+    cycle_time = min(times) / K
+    n_dof = int(np.prod(problem.finest_grid[0].size))
+    dof_per_s = n_dof / cycle_time
+    print(f"[bench] {n_dof} DoF, cycle {cycle_time * 1e3:.2f} ms, "
+          f"{dof_per_s:.3e} DoF/s", file=sys.stderr)
+
+    # --- convergence sanity: f32 solve to 1e-5 (above the f32 floor) --------
+    solver = make_solver(lowered, max_iterations=20, target_reduction=1e-5)
+    u_s, iters, hist = solver(u0, b, omegas)
+    hist = np.asarray(jax.device_get(hist))
+    iters = int(iters)
+    # asymptotic rho from the pre-plateau iterations
+    k = min(iters, 4)
+    rho = float((hist[k] / hist[0]) ** (1 / max(k, 1)))
+    print(f"[bench] solve to 1e-5: {iters} iterations, rho(first {k})={rho:.4f}",
+          file=sys.stderr)
+
+    # --- reference machine model for the same cycle -------------------------
+    ref_cycle_time = PerformanceEvaluator(REFERENCE_CPU).estimate_runtime(cycle)
+    vs_baseline = ref_cycle_time / cycle_time
+    print(f"[bench] reference CPU roofline cycle: {ref_cycle_time * 1e3:.2f} ms "
+          f"-> speedup {vs_baseline:.1f}x", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "poisson2d_4095sq_vcycle_throughput",
+        "value": dof_per_s,
+        "unit": "DoF/s",
+        "vs_baseline": vs_baseline,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -57,12 +57,19 @@ def is_function(expr) -> bool:
     return expr.shape[1] == 1
 
 
-def red_black_masks(shape: Tuple[int, ...]):
+def red_black_masks(shape: Tuple[int, ...], dtype=None):
     """Node-parity masks: red = even node-index sum; interior index i is
-    node i+1 (ops.apply.LATTICE_ORIGIN)."""
-    idx = np.indices(shape).sum(axis=0) + len(shape) * ops.LATTICE_ORIGIN
+    node i+1 (ops.apply.LATTICE_ORIGIN).
+
+    Built from iotas on device — materializing them as numpy constants
+    embeds O(grid) bytes into the HLO (the axon remote-compile service
+    rejects large payloads)."""
+    dtype = dtype or jnp.float32
+    idx = sum(jax.lax.broadcasted_iota(jnp.int32, shape, k)
+              for k in range(len(shape)))
+    idx = idx + len(shape) * ops.LATTICE_ORIGIN
     red = (idx % 2 == 0)
-    return red.astype(np.float64), (~red).astype(np.float64)
+    return red.astype(dtype), (~red).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -214,12 +221,13 @@ class _Lowering:
         residual = corr.operand2
         b = self.eval_function(residual.rhs)
         A = residual.operator
-        masks = [red_black_masks(tuple(g.size)) for g in field_grids(cycle)]
+        masks = [red_black_masks(tuple(g.size), self.dtype)
+                 for g in field_grids(cycle)]
 
         def half(u, color):
             r = tuple(bi - ai for bi, ai in zip(b, self.apply_operator(A, u)))
             c = self.apply_operator(inverse_op, r)
-            return tuple(ui + omega * jnp.asarray(m[color], ui.dtype) * ci
+            return tuple(ui + omega * m[color].astype(ui.dtype) * ci
                          for ui, ci, m in zip(u, c, masks))
 
         u1 = half(x, 0)   # red half-sweep first
@@ -433,9 +441,12 @@ class _Lowering:
 
     def _apply_dense(self, inv: np.ndarray, fields):
         flat = jnp.concatenate([f.reshape(-1) for f in fields])
-        dtype = jnp.promote_types(flat.dtype,
-                                  jnp.asarray(inv.reshape(-1)[:1]).dtype)
-        y = jnp.asarray(inv, dtype) @ flat.astype(dtype)
+        # keep the field dtype (f64 matvecs are emulated and very slow on
+        # TPU); promote only if the inverse is complex and the field real
+        dtype = flat.dtype
+        if np.iscomplexobj(inv):
+            dtype = jnp.promote_types(dtype, jnp.complex64)
+        y = jnp.asarray(inv, dtype=dtype) @ flat.astype(dtype)
         out = []
         o = 0
         for f in fields:

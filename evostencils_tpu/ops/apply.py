@@ -88,9 +88,6 @@ def periodic_coefficient_fields(ps: PeriodicStencil, shape: Tuple[int, ...]):
                       for s in ps.constant_entries() for _, v in s.entries)
     dtype = np.complex128 if any_complex else np.float64
     period = ps.period
-    grid_idx = np.indices(shape)
-    lattice_map = tuple((grid_idx[k] + LATTICE_ORIGIN) % period[k]
-                        for k in range(len(shape)))
     out = []
     for offset in offsets:
         lattice = np.zeros(period, dtype=dtype)
@@ -98,8 +95,24 @@ def periodic_coefficient_fields(ps: PeriodicStencil, shape: Tuple[int, ...]):
             s = ps.stencils[idx]
             if s is not None:
                 lattice[idx] = s.value_at(offset, 0)
-        out.append((offset, lattice[lattice_map]))
+        out.append((offset, lattice))
     return out
+
+
+def materialize_coefficient_field(lattice: np.ndarray, shape: Tuple[int, ...],
+                                  dtype):
+    """Tile a small period lattice out to the grid *on device* so only the
+    lattice (not an O(grid) constant) is embedded in the program.
+
+    field[i] = lattice[(i + LATTICE_ORIGIN) % period].
+    """
+    period = lattice.shape
+    shifted = np.roll(lattice,
+                      shift=tuple(-(LATTICE_ORIGIN % p) for p in period),
+                      axis=tuple(range(lattice.ndim)))
+    reps = tuple(-(-n // p) for n, p in zip(shape, period))
+    tiled = jnp.tile(jnp.asarray(shifted, dtype), reps)
+    return tiled[tuple(slice(0, n) for n in shape)]
 
 
 def apply_periodic(ps: PeriodicStencil, u, bc: str = "dirichlet"):
@@ -119,14 +132,16 @@ def apply_periodic(ps: PeriodicStencil, u, bc: str = "dirichlet"):
     if bc == "dirichlet":
         up = jnp.pad(u, [(r, r) for r in radius])
         acc = None
-        for offset, coeff in coeff_fields:
-            term = jnp.asarray(coeff, dtype) * _shifted(up, offset, radius, u.shape)
+        for offset, lattice in coeff_fields:
+            coeff = materialize_coefficient_field(lattice, u.shape, dtype)
+            term = coeff * _shifted(up, offset, radius, u.shape)
             acc = term if acc is None else acc + term
         return acc
     elif bc == "periodic":
         acc = None
-        for offset, coeff in coeff_fields:
-            term = jnp.asarray(coeff, dtype) * jnp.roll(
+        for offset, lattice in coeff_fields:
+            coeff = materialize_coefficient_field(lattice, u.shape, dtype)
+            term = coeff * jnp.roll(
                 u, tuple(-o for o in offset), axis=tuple(range(u.ndim)))
             acc = term if acc is None else acc + term
         return acc
@@ -188,10 +203,115 @@ class StencilField:
 # Intergrid transfers (coarsening factor 2, vertex-centered)
 # ---------------------------------------------------------------------------
 # Coarse interior point i_c sits at fine interior index 2*i_c + 1.
+#
+# TPU note: strided slices / scatters (u[1::2]) lower to pathologically slow
+# lane shuffles on TPU.  Transfers are instead expressed as per-axis banded
+# *matmuls* (separable stencils — all gallery transfers are tensor products),
+# which run on the MXU at effectively zero cost next to the smoothing sweeps;
+# non-separable stencils fall back to a strided conv, also MXU-native.
+
+def separable_factors(stencil: Stencil):
+    """Factor a stencil into per-axis 1D weight vectors, or None.
+
+    Returns ``(vectors, radii)`` with ``stencil[o] = prod_k v_k[o_k + r_k]``.
+    """
+    if stencil is None or stencil.number_of_entries == 0:
+        return None
+    d = stencil.dimension
+    radii = stencil.max_offsets
+    box = np.zeros(tuple(2 * r + 1 for r in radii), dtype=np.complex128)
+    for offset, value in stencil.entries:
+        box[tuple(o + r for o, r in zip(offset, radii))] = value
+    center = tuple(radii)
+    c = box[center]
+    if c == 0:
+        return None
+    vectors = []
+    for k in range(d):
+        index = list(center)
+        index[k] = slice(None)
+        vectors.append(box[tuple(index)].copy())
+    # normalize so that prod_k v_k[r_k] == c
+    scale = c ** (1.0 / d)
+    for k in range(d):
+        vk = vectors[k]
+        if vk[radii[k]] == 0:
+            return None
+        vectors[k] = vk * (scale / vk[radii[k]])
+    recon = vectors[0]
+    for vk in vectors[1:]:
+        recon = np.multiply.outer(recon, vk)
+    if not np.allclose(recon, box, rtol=1e-12, atol=1e-300):
+        return None
+    if np.allclose(box.imag, 0):
+        vectors = [v.real for v in vectors]
+    return vectors, radii
+
+
+_TRANSFER_MATRIX_CACHE: dict = {}
+
+
+def _restriction_axis_matrix(weights, radius, n_fine, n_coarse):
+    """Banded (nc x nf) matrix: row i_c samples fine nodes 2*i_c+1+o."""
+    key = ("R", tuple(np.asarray(weights).tolist()), radius, n_fine, n_coarse)
+    m = _TRANSFER_MATRIX_CACHE.get(key)
+    if m is None:
+        dtype = np.complex128 if np.iscomplexobj(np.asarray(weights)) else np.float64
+        m = np.zeros((n_coarse, n_fine), dtype=dtype)
+        for i in range(n_coarse):
+            for k, w in enumerate(weights):
+                j = 2 * i + 1 + (k - radius)
+                if 0 <= j < n_fine:
+                    m[i, j] += w
+        _TRANSFER_MATRIX_CACHE[key] = m
+    return m
+
+
+def _prolongation_axis_matrix(weights, radius, n_fine, n_coarse):
+    """Banded (nf x nc) matrix: column i_c scatters to fine nodes 2*i_c+1+o."""
+    key = ("P", tuple(np.asarray(weights).tolist()), radius, n_fine, n_coarse)
+    m = _TRANSFER_MATRIX_CACHE.get(key)
+    if m is None:
+        dtype = np.complex128 if np.iscomplexobj(np.asarray(weights)) else np.float64
+        m = np.zeros((n_fine, n_coarse), dtype=dtype)
+        for i in range(n_coarse):
+            for k, w in enumerate(weights):
+                j = 2 * i + 1 + (k - radius)
+                if 0 <= j < n_fine:
+                    m[j, i] += w
+        _TRANSFER_MATRIX_CACHE[key] = m
+    return m
+
+
+def _axis_contract(u, matrices):
+    """Apply one banded matrix per axis: out = (M_0 x M_1 x ...) u."""
+    out = u
+    for k, m in enumerate(matrices):
+        mj = jnp.asarray(m, out.dtype) if not np.iscomplexobj(m) \
+            else jnp.asarray(m, jnp.promote_types(out.dtype, jnp.complex64))
+        out = out.astype(mj.dtype)
+        out = jnp.tensordot(mj, out, axes=(1, k))
+        # tensordot puts the contracted axis first; rotate it back to k
+        out = jnp.moveaxis(out, 0, k)
+    return out
+
 
 def restrict(stencil: Stencil, u_fine):
-    """Full restriction: apply the fine-grid weighting stencil, then inject."""
-    smoothed = apply_constant(stencil, u_fine) if stencil is not None else u_fine
+    """Full restriction: weighting stencil followed by injection at odd
+    fine nodes (LFA convention: injection_restriction ∘ stencil,
+    reference model_based_prediction/convergence.py:160-162)."""
+    nf = u_fine.shape
+    nc = tuple((n - 1) // 2 for n in nf)
+    if stencil is None:
+        return inject(u_fine)
+    fac = separable_factors(stencil)
+    if fac is not None:
+        vectors, radii = fac
+        mats = [_restriction_axis_matrix(v, r, n, m)
+                for v, r, n, m in zip(vectors, radii, nf, nc)]
+        return _axis_contract(u_fine, mats)
+    # general fallback: apply then subsample
+    smoothed = apply_constant(stencil, u_fine)
     index = tuple(slice(1, None, 2) for _ in range(u_fine.ndim))
     return smoothed[index]
 
@@ -204,6 +324,14 @@ def inject(u_fine):
 def prolong(stencil: Stencil, u_coarse, fine_shape: Tuple[int, ...]):
     """Interpolation: scatter coarse values onto odd fine nodes, then apply
     the fine-grid interpolation stencil (e.g. (1/2, 1, 1/2) per axis)."""
+    nc = u_coarse.shape
+    if stencil is not None:
+        fac = separable_factors(stencil)
+        if fac is not None:
+            vectors, radii = fac
+            mats = [_prolongation_axis_matrix(v, r, n, m)
+                    for v, r, n, m in zip(vectors, radii, fine_shape, nc)]
+            return _axis_contract(u_coarse, mats)
     dtype = result_dtype((v for _, v in stencil.entries), u_coarse.dtype) \
         if stencil is not None else u_coarse.dtype
     embedded = jnp.zeros(fine_shape, dtype=dtype)

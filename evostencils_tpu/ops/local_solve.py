@@ -137,9 +137,13 @@ class BlockSolvePlan:
             xp = jnp.transpose(xp, perm).reshape(*self.nblocks, B)
             blocks.append(xp)
         xb = jnp.concatenate(blocks, axis=-1)  # (*nblocks, m*B)
-        inv = jnp.asarray(self.inverse, dtype=jnp.promote_types(
-            xb.dtype, jnp.asarray(self.inverse.reshape(-1)[:1]).dtype))
-        yb = jnp.einsum("...ab,...b->...a", inv, xb.astype(inv.dtype))
+        # keep the field dtype (f64 einsums are emulated and slow on TPU);
+        # promote only for complex inverses over real fields
+        dtype = xb.dtype
+        if np.iscomplexobj(self.inverse):
+            dtype = jnp.promote_types(dtype, jnp.complex64)
+        inv = jnp.asarray(self.inverse, dtype=dtype)
+        yb = jnp.einsum("...ab,...b->...a", inv, xb.astype(dtype))
         outs = []
         for i in range(self.m):
             y = yb[..., i * B:(i + 1) * B]
