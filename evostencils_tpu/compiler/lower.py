@@ -494,6 +494,29 @@ def lower_cycle(root: base.Cycle, approximation, rhs) -> LoweredCycle:
                         grids=fine_grids, operator=fine_op)
 
 
+def make_cycle_applier(root: base.Cycle, approximation, rhs,
+                       omegas=None) -> Callable:
+    """Wrap a lowered cycle as ``fn(rhs_fields) -> solution_fields`` with a
+    zero initial guess — the form CoarseGridSolver.expression expects when an
+    evolved coarser cycle serves as the coarse-grid solver (reference
+    appends the coarse cycle function to the solver program,
+    optimization/program.py:890-898)."""
+    cycles = transformations.find_nodes(root, base.Cycle)
+    if any(c.global_id is None for c in cycles):
+        transformations.assign_cycle_ids(root)
+        cycles = transformations.find_nodes(root, base.Cycle)
+    if omegas is None:
+        omegas = np.array([float(c.relaxation_factor) for c in cycles])
+
+    def apply_fn(fields):
+        lowering = _Lowering(approximation, rhs, jnp.asarray(omegas))
+        u0 = tuple(jnp.zeros_like(f) for f in fields)
+        lowering.bind(u0, tuple(fields))
+        return lowering.eval_function(root)
+
+    return apply_fn
+
+
 def operator_applier(op) -> Callable:
     """Standalone applier for an operator expression (for outer residuals)."""
     def apply(fields, _lowering=_Lowering(None, None, None)):

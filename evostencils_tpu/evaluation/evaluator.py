@@ -1,0 +1,189 @@
+"""Measured fitness evaluation: compile-once, batch-execute populations.
+
+This is the native replacement of the reference's per-individual pipeline
+ExaSlang emission -> JVM compiler -> make/g++ -> subprocess run
+(reference code_generation/exastencils.py:485-537, seconds per individual).
+Here:
+
+* each distinct cycle *structure* (tree with relaxation-factor terminals
+  normalized out) is lowered and jit-compiled once;
+* all individuals sharing a structure are evaluated in ONE vmapped solve —
+  the relaxation-factor vector is a traced argument, so a whole
+  population slice becomes a single batched TPU program
+  (BASELINE.json config 5: 64 evolved cycles batch-evaluated);
+* per-individual time-to-convergence = measured per-cycle time of the
+  structure x iteration count of the individual.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..compiler.lower import lower_cycle, LoweredCycle
+from ..compiler.solve import make_solver, residual_norm_fn
+from ..grammar import gp
+from ..ir import transformations, base
+
+_RF_PATTERN = re.compile(r"rf_\d+")
+
+
+def structure_key(individual) -> str:
+    """Tree string with relaxation-factor terminals normalized away."""
+    return _RF_PATTERN.sub("rf", str(individual))
+
+
+@dataclass
+class EvaluationResult:
+    time_to_convergence_ms: float
+    convergence_factor: float
+    iterations: float   # float so that infinity is representable
+
+
+class CycleEvaluator:
+    """Measured evaluation backend over a Problem."""
+
+    def __init__(self, problem, *, dtype=None, max_iterations: Optional[int] = None,
+                 target_reduction: Optional[float] = None,
+                 throughput_cycles: int = 5, infinity: float = 1e100):
+        self.problem = problem
+        self.dtype = dtype or problem.dtype
+        self.max_iterations = max_iterations or problem.max_iterations
+        self.target_reduction = target_reduction or problem.target_reduction
+        self.throughput_cycles = throughput_cycles
+        self.infinity = infinity
+        problem.dtype = self.dtype
+        self._b = problem.build_rhs()
+        self._u0 = tuple(jnp.zeros_like(x) for x in self._b)
+        self._solver_cache: Dict[str, dict] = {}
+        self.compilations = 0
+
+    # -- structure compilation ----------------------------------------------
+
+    def _get_compiled(self, key: str, expression: base.Cycle):
+        entry = self._solver_cache.get(key)
+        if entry is not None:
+            return entry
+        lowered = lower_cycle(expression, self.problem.approximation,
+                              self.problem.rhs_entity)
+        solver = make_solver(lowered, self.max_iterations,
+                             self.target_reduction)
+        batched_solver = jax.jit(jax.vmap(
+            lambda om: solver(self._u0, self._b, om)[1:]))
+
+        K = self.throughput_cycles
+
+        def k_cycles(u, b_fields, om):
+            def body(u, _):
+                return lowered.step(u, b_fields, om), None
+            u, _ = jax.lax.scan(body, u, None, length=K)
+            return sum(jnp.sum(jnp.abs(x)) for x in u)
+
+        throughput = jax.jit(k_cycles)
+        entry = {"lowered": lowered, "solver": solver,
+                 "batched_solver": batched_solver, "throughput": throughput,
+                 "cycle_time_ms": None}
+        self._solver_cache[key] = entry
+        self.compilations += 1
+        return entry
+
+    def _measure_cycle_time(self, entry) -> float:
+        if entry["cycle_time_ms"] is not None:
+            return entry["cycle_time_ms"]
+        lowered = entry["lowered"]
+        om = jnp.asarray(lowered.default_omegas, dtype=jnp.float32
+                         if self.dtype == np.float32 else None)
+        run = entry["throughput"]
+        float(run(self._u0, self._b, om))  # compile + warm
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(self._u0, self._b, om))
+            times.append(time.perf_counter() - t0)
+        entry["cycle_time_ms"] = min(times) * 1e3 / self.throughput_cycles
+        return entry["cycle_time_ms"]
+
+    # -- single evaluation ---------------------------------------------------
+
+    def evaluate_expression(self, expression: base.Cycle,
+                            key: Optional[str] = None) -> EvaluationResult:
+        key = key or str(id(expression))
+        entry = self._get_compiled(key, expression)
+        lowered = entry["lowered"]
+        omegas = jnp.asarray(lowered.default_omegas)
+        _, iters, hist = entry["solver"](self._u0, self._b, omegas)
+        hist = np.asarray(jax.device_get(hist))
+        iters = int(iters)
+        return self._result_from_history(entry, hist, iters)
+
+    def _result_from_history(self, entry, hist, iters) -> EvaluationResult:
+        cycle_time = self._measure_cycle_time(entry)
+        r0 = hist[0]
+        converged = (r0 > 0 and np.isfinite(hist[iters])
+                     and hist[iters] <= self.target_reduction * r0 * (1 + 1e-9))
+        if iters > 0 and np.isfinite(hist[iters]) and hist[iters] > 0 and r0 > 0:
+            rho = float((hist[iters] / r0) ** (1.0 / iters))
+        else:
+            rho = self.infinity if not np.isfinite(hist[iters]) else 0.0
+        if not converged or not np.isfinite(rho):
+            return EvaluationResult(self.infinity,
+                                    rho if np.isfinite(rho) else self.infinity,
+                                    self.infinity)
+        return EvaluationResult(cycle_time * iters, rho, float(iters))
+
+    # -- batched population evaluation ---------------------------------------
+
+    def evaluate_population(self, individuals: List, pset) -> List[EvaluationResult]:
+        """Group by structure, one vmapped batched solve per group."""
+        groups: Dict[str, List[int]] = {}
+        expressions: List[Optional[base.Cycle]] = [None] * len(individuals)
+        results: List[Optional[EvaluationResult]] = [None] * len(individuals)
+        for i, ind in enumerate(individuals):
+            if len(ind) > 150:
+                results[i] = EvaluationResult(self.infinity, self.infinity,
+                                              self.infinity)
+                continue
+            try:
+                state = gp.compile_tree(ind, pset)
+                expr = state[0]
+                transformations.assign_cycle_ids(expr)
+                expressions[i] = expr
+                groups.setdefault(structure_key(ind), []).append(i)
+            except (MemoryError, ValueError, NotImplementedError,
+                    RuntimeError, KeyError):
+                results[i] = EvaluationResult(self.infinity, self.infinity,
+                                              self.infinity)
+        for key, members in groups.items():
+            try:
+                entry = self._get_compiled(key, expressions[members[0]])
+            except (NotImplementedError, ValueError, RuntimeError, KeyError,
+                    np.linalg.LinAlgError):
+                for i in members:
+                    results[i] = EvaluationResult(self.infinity, self.infinity,
+                                                  self.infinity)
+                continue
+            lowered = entry["lowered"]
+            omega_batch = np.stack([
+                np.array([float(c.relaxation_factor) for c in
+                          transformations.find_nodes(expressions[i], base.Cycle)])
+                for i in members])
+            try:
+                iters_b, hist_b = entry["batched_solver"](
+                    jnp.asarray(omega_batch))
+                iters_b = np.asarray(jax.device_get(iters_b))
+                hist_b = np.asarray(jax.device_get(hist_b))
+            except Exception:
+                for i in members:
+                    results[i] = EvaluationResult(self.infinity, self.infinity,
+                                                  self.infinity)
+                continue
+            for j, i in enumerate(members):
+                results[i] = self._result_from_history(
+                    entry, hist_b[j], int(iters_b[j]))
+        return results

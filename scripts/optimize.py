@@ -1,0 +1,118 @@
+"""Main CLI: evolve multigrid cycles for a problem (reference
+scripts/optimize.py).
+
+Usage:
+    python scripts/optimize.py <problem> [method] [options]
+
+    problem: poisson2d | poisson3d | poisson2d_var | elasticity2d |
+             helmholtz2d | fas2d
+    method:  NSGAII (default) | NSGAIII | SOGP | RandomSearch
+
+Options:
+    --mu N --lambda N --generations N --levels-per-run N
+    --max-level N --min-level N
+    --output DIR   (default ./evo_output)
+    --cpu          force CPU backend
+    --f32          evaluate in float32 (TPU-native default when on TPU)
+"""
+
+import argparse
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def get_problem(name, max_level=None, min_level=None):
+    from evostencils_tpu.problems import poisson
+    factories = {
+        "poisson2d": (poisson.poisson_2d, 9, 5),
+        "poisson3d": (poisson.poisson_3d, 6, 2),
+        "poisson2d_var": (poisson.poisson_2d_variable, 9, 5),
+    }
+    try:
+        from evostencils_tpu.problems import elasticity
+        factories["elasticity2d"] = (elasticity.linear_elasticity_2d, 8, 4)
+    except (ImportError, AttributeError):
+        pass
+    try:
+        from evostencils_tpu.problems import helmholtz
+        factories["helmholtz2d"] = (helmholtz.helmholtz_2d, 7, 3)
+    except (ImportError, AttributeError):
+        pass
+    try:
+        from evostencils_tpu.problems import fas
+        factories["fas2d"] = (fas.fas_2d_basic, 10, 6)
+    except (ImportError, AttributeError):
+        pass
+    if name not in factories:
+        raise SystemExit(f"unknown problem {name!r}; "
+                         f"available: {sorted(factories)}")
+    fn, default_max, default_min = factories[name]
+    return fn(max_level=max_level or default_max,
+              min_level=min_level or default_min)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("problem")
+    parser.add_argument("method", nargs="?", default="NSGAII")
+    parser.add_argument("--mu", type=int, default=8)
+    parser.add_argument("--lambda", dest="lambda_", type=int, default=8)
+    parser.add_argument("--generations", type=int, default=50)
+    parser.add_argument("--levels-per-run", type=int, default=None)
+    parser.add_argument("--max-level", type=int, default=None)
+    parser.add_argument("--min-level", type=int, default=None)
+    parser.add_argument("--output", default="./evo_output")
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--f32", action="store_true")
+    parser.add_argument("--seed", type=int, default=None)
+    args = parser.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    if not args.f32:
+        jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+
+    import random
+    import numpy as np
+    from evostencils_tpu.optimization.program import Optimizer
+    from evostencils_tpu.evaluation.evaluator import CycleEvaluator
+
+    problem = get_problem(args.problem, args.max_level, args.min_level)
+    if args.f32:
+        problem.dtype = np.float32
+    evaluator = CycleEvaluator(problem)
+    os.makedirs(args.output, exist_ok=True)
+    optimizer = Optimizer(
+        problem, evaluator=evaluator,
+        checkpoint_directory_path=os.path.join(args.output, "checkpoints"),
+        rng=random.Random(args.seed))
+
+    method = {"NSGAII": optimizer.NSGAII, "NSGAIII": optimizer.NSGAIII,
+              "SOGP": optimizer.SOGP}.get(args.method)
+    use_random_search = args.method == "RandomSearch"
+    result = optimizer.evolutionary_optimization(
+        mu_=args.mu, lambda_=args.lambda_, generations=args.generations,
+        levels_per_run=args.levels_per_run,
+        optimization_method=method if not use_random_search else None,
+        use_random_search=use_random_search)
+
+    print("\nBest individual:")
+    print(result["grammar_string"])
+    with open(os.path.join(args.output, "best_grammar.txt"), "w") as f:
+        f.write(result["grammar_string"] + "\n")
+    with open(os.path.join(args.output, "result.p"), "wb") as f:
+        pickle.dump({"grammar_string": result["grammar_string"],
+                     "populations": result["populations"],
+                     "logbooks": result["logbooks"]}, f)
+    print(f"Results written to {args.output}")
+
+
+if __name__ == "__main__":
+    main()
