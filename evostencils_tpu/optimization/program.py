@@ -64,11 +64,25 @@ class Optimizer:
     def __init__(self, problem, *, evaluator: Optional[CycleEvaluator] = None,
                  checkpoint_directory_path: str = "./checkpoints",
                  problem_factory: Optional[Callable] = None,
+                 convergence_evaluator=None, performance_evaluator=None,
+                 model_based_estimation: bool = False,
                  rng: Optional[random.Random] = None):
         self.problem = problem
         self.evaluator = evaluator or CycleEvaluator(problem)
         self.checkpoint_directory_path = checkpoint_directory_path
         self.problem_factory = problem_factory
+        self.model_based_estimation = model_based_estimation
+        if model_based_estimation:
+            if convergence_evaluator is None:
+                from ..prediction.convergence import ConvergenceEvaluator
+                convergence_evaluator = ConvergenceEvaluator(
+                    problem.dimension, samples_per_axis=8)
+            if performance_evaluator is None:
+                from ..prediction.performance import (PerformanceEvaluator,
+                                                      TPU_V5E)
+                performance_evaluator = PerformanceEvaluator(TPU_V5E)
+        self.convergence_evaluator = convergence_evaluator
+        self.performance_evaluator = performance_evaluator
         self.rng = rng or random.Random()
         self.individual_cache: Dict[str, tuple] = {}
         self.cache_hits = 0
@@ -119,13 +133,47 @@ class Optimizer:
                 pending.append(ind)
         if not pending:
             return 0
-        results = self.evaluator.evaluate_population(pending, self._pset)
-        for ind, res in zip(pending, results):
-            values = self._fitness_from_result(res)
-            ind.fitness.values = values
-            self.add_individual_to_cache(ind, values)
+        if self.model_based_estimation:
+            for ind in pending:
+                values = self._estimate_objectives(ind)
+                ind.fitness.values = values
+                self.add_individual_to_cache(ind, values)
+        else:
+            results = self.evaluator.evaluate_population(pending, self._pset)
+            for ind, res in zip(pending, results):
+                values = self._fitness_from_result(res)
+                ind.fitness.values = values
+                self.add_individual_to_cache(ind, values)
         self.total_evaluations += len(pending)
         return len(pending)
+
+    def _estimate_objectives(self, individual):
+        """Model-based fitness: LFA spectral radius + roofline runtime
+        (reference optimization/program.py:319-384)."""
+        import math as _math
+        try:
+            state = gp.compile_tree(individual, self._pset)
+            expression = state[0]
+            transformations.assign_cycle_ids(expression)
+        except (MemoryError, ValueError, NotImplementedError, RuntimeError,
+                KeyError):
+            return (self.infinity,) * self._n_objectives
+        rho = self.convergence_evaluator.compute_spectral_radius(expression)
+        bad = (rho == 0.0 or _math.isnan(rho) or _math.isinf(rho))
+        if self._n_objectives == 2:
+            if bad:
+                return (self.infinity, self.infinity)
+            runtime = self.performance_evaluator.estimate_runtime(
+                expression) * 1e3
+            return (rho, runtime)
+        if bad:
+            return (self.infinity,)
+        if self.performance_evaluator is None:
+            return (rho,)
+        runtime = self.performance_evaluator.estimate_runtime(expression) * 1e3
+        if rho < 1:
+            return (_math.log(self.epsilon) / _math.log(rho) * runtime,)
+        return (rho * self.infinity ** 0.25,)
 
     # -- evolutionary loop ---------------------------------------------------
 
