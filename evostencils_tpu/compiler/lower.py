@@ -43,6 +43,23 @@ DIRECT_SOLVE_MAX = 4096
 _DENSE_INVERSE_CACHE: dict = {}
 
 
+_STENCIL_FIELD_CACHE: dict = {}
+
+
+def _stencil_field_of(op):
+    """StencilField of an operator whose generator supports field form
+    (variable coefficients / boundary-modified stencils), else None."""
+    gen = getattr(op, "stencil_generator", None)
+    if gen is None or not hasattr(gen, "generate_stencil_field"):
+        return None
+    key = (id(gen), tuple(op.grid.size))
+    sf = _STENCIL_FIELD_CACHE.get(key)
+    if sf is None:
+        sf = gen.generate_stencil_field(op.grid)
+        _STENCIL_FIELD_CACHE[key] = sf
+    return sf
+
+
 def field_grids(expr) -> List[Grid]:
     g = expr.grid
     return g if isinstance(g, list) else [g]
@@ -103,18 +120,25 @@ def dense_inverse(op) -> np.ndarray:
         return cached
     sizes = [int(np.prod(g.size)) for g in grids]
     n = sum(sizes)
-    any_complex = any(
-        isinstance(v, complex) or np.iscomplexobj(np.asarray(v))
-        for row in blocks for _, ps in row if ps is not None
-        for s in ps.constant_entries() for _, v in s.entries)
+    dense_blocks = {}
+    any_complex = False
+    for i, row in enumerate(blocks):
+        for j, (entry, ps) in enumerate(row):
+            sf = _stencil_field_of(entry)
+            if sf is not None:
+                dense_blocks[(i, j)] = sf.dense_matrix()
+            elif ps is not None and ps.constant_entries():
+                dense_blocks[(i, j)] = ops.dense_matrix(ps, grids[j])
+            if (i, j) in dense_blocks and \
+                    np.iscomplexobj(dense_blocks[(i, j)]):
+                any_complex = True
     K = np.zeros((n, n), dtype=np.complex128 if any_complex else np.float64)
     r0 = 0
     for i, row in enumerate(blocks):
         c0 = 0
-        for j, (entry, ps) in enumerate(row):
-            if ps is not None and ps.constant_entries():
-                K[r0:r0 + sizes[i], c0:c0 + sizes[j]] = ops.dense_matrix(
-                    ps, grids[j])
+        for j, _ in enumerate(row):
+            if (i, j) in dense_blocks:
+                K[r0:r0 + sizes[i], c0:c0 + sizes[j]] = dense_blocks[(i, j)]
             c0 += sizes[j]
         r0 += sizes[i]
     inv = np.linalg.inv(K)
@@ -256,6 +280,9 @@ class _Lowering:
         if isinstance(expr, base.Identity):
             return fields
         if isinstance(expr, base.Operator):
+            sf = _stencil_field_of(expr)
+            if sf is not None:
+                return (sf.apply(fields[0]),)
             st = expr.generate_stencil()
             return (ops.apply_stencil(periodic.as_periodic(st), fields[0]),)
         if isinstance(expr, (system.Diagonal, system.ElementwiseDiagonal,
@@ -328,7 +355,15 @@ class _Lowering:
             op = self._unwrap_operator(L.operand)
             out = []
             for i, x in enumerate(fields):
-                ps = periodic.as_periodic(op.entries[i][i].generate_stencil())
+                entry = op.entries[i][i]
+                sf = _stencil_field_of(entry)
+                if sf is not None:
+                    d = np.asarray(sf.diagonal_field())
+                    dtype = jnp.promote_types(x.dtype, jnp.complex64) \
+                        if np.iscomplexobj(d) else x.dtype
+                    out.append(x.astype(dtype) / jnp.asarray(d, dtype=dtype))
+                    continue
+                ps = periodic.as_periodic(entry.generate_stencil())
                 inv = periodic.inverse(periodic.diagonal(ps))
                 out.append(ops.apply_stencil(inv, x))
             return tuple(out)
@@ -373,7 +408,15 @@ class _Lowering:
     def _pointwise_collective_inverse(self, op: system.Operator, fields):
         m = len(op.entries)
         if m == 1:
-            ps = periodic.as_periodic(op.entries[0][0].generate_stencil())
+            entry = op.entries[0][0]
+            sf = _stencil_field_of(entry)
+            if sf is not None:
+                d = np.asarray(sf.diagonal_field())
+                x = fields[0]
+                dtype = jnp.promote_types(x.dtype, jnp.complex64) \
+                    if np.iscomplexobj(d) else x.dtype
+                return (x.astype(dtype) / jnp.asarray(d, dtype=dtype),)
+            ps = periodic.as_periodic(entry.generate_stencil())
             inv = periodic.inverse(periodic.diagonal(ps))
             return (ops.apply_stencil(inv, fields[0]),)
         # constant central coefficients -> single m x m inverse

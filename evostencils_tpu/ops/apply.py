@@ -198,6 +198,29 @@ class StencilField:
                 return f
         raise ValueError("stencil field has no diagonal entry")
 
+    def dense_matrix(self) -> np.ndarray:
+        """Dense matrix (Dirichlet-0 outside the grid) for tests and small
+        direct solves."""
+        shape = np.asarray(self.fields[0]).shape
+        n = int(np.prod(shape))
+        dtype = np.result_type(*[np.asarray(f).dtype for f in self.fields])
+        mat = np.zeros((n, n), dtype=dtype if dtype.kind == "c" else np.float64)
+        for offset, coeff in zip(self.offsets, self.fields):
+            coeff = np.asarray(coeff)
+            for row_idx in np.ndindex(*shape):
+                col_idx = tuple(i + o for i, o in zip(row_idx, offset))
+                if all(0 <= c < m for c, m in zip(col_idx, shape)):
+                    mat[np.ravel_multi_index(row_idx, shape),
+                        np.ravel_multi_index(col_idx, shape)] += coeff[row_idx]
+        return mat
+
+
+def constant_stencil_field(stencil: Stencil, shape) -> StencilField:
+    """Broadcast a constant stencil into field form."""
+    offsets = [o for o, _ in stencil.entries]
+    fields = [np.full(shape, v) for _, v in stencil.entries]
+    return StencilField(offsets, fields)
+
 
 # ---------------------------------------------------------------------------
 # Intergrid transfers (coarsening factor 2, vertex-centered)

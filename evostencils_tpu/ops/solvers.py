@@ -125,7 +125,7 @@ def bicgstab_fixed(matvec: Callable, b, iterations: int, x0=None):
         r = _axpy(-omega, t, s)
         rho_new = _dot(r_hat, r)
         beta = jnp.where(rho * omega == 0, 0.0, (rho_new / rho) * (alpha / omega))
-        p = _axpy(beta, _axpy(-beta * omega, v, p), r)
+        p = _axpy(beta, _axpy(-omega, v, p), r)
         return x, r, p, rho_new
 
     x, _, _, _ = lax.fori_loop(0, iterations, body, (x, r, p, rho))
@@ -162,6 +162,61 @@ def minres_fixed(matvec: Callable, b, iterations: int, x0=None):
     """MinRes via the conjugate-residual recurrence (sufficient for the
     grammar's Krylov-smoother terminal; reference ir/krylov_subspace.py:32-45)."""
     return conjugate_residual_fixed(matvec, b, iterations, x0)
+
+
+def preconditioned_bicgstab(matvec: Callable, precond: Callable, b,
+                            *, tol: float = 1e-7, maxiter: int = 10000,
+                            history_size: int = 0):
+    """Right-preconditioned BiCGStab (reference Helmholtz solver:
+    example_problems/Helmholtz/2D_FD_Helmholtz_fromL3.exa3:144-201 —
+    ``gen_mgCycle()`` with zero initial guess is the preconditioner).
+
+    Returns ``(x, iterations, residual_history)``; the history has
+    ``history_size + 1`` slots (0 disables recording beyond r0/final).
+    """
+    x = _zeros_like(b)
+    r = b
+    r_hat = r
+    leaves = jax.tree_util.tree_leaves(r)
+    one = jnp.asarray(1.0, leaves[0].dtype)
+    rho = alpha = omega = one
+    v = _zeros_like(b)
+    p = _zeros_like(b)
+    r0_norm = norm(r)
+    hsize = max(history_size, 1)
+    hist = jnp.zeros((hsize + 1,), dtype=jnp.real(r0_norm).dtype)
+    hist = hist.at[0].set(r0_norm)
+
+    def cond(state):
+        _, _, _, _, _, _, _, k, res, _ = state
+        return jnp.logical_and(k < maxiter, res > tol * r0_norm)
+
+    def body(state):
+        x, r, v, p, rho, alpha, omega, k, _, hist = state
+        rho_new = _dot(r_hat, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p = _axpy(beta, _axpy(-omega, v, p), r)
+        y = precond(p)
+        v = matvec(y)
+        alpha = rho_new / _dot(r_hat, v)
+        h = _axpy(alpha, y, x)
+        s = _axpy(-alpha, v, r)
+        z = precond(s)
+        t = matvec(z)
+        omega_new = _dot(t, s) / _dot(t, t)
+        x = _axpy(omega_new, z, h)
+        r = _axpy(-omega_new, t, s)
+        res = norm(r)
+        hist = jax.lax.cond(
+            k + 1 <= hsize,
+            lambda h_: h_.at[jnp.minimum(k + 1, hsize)].set(res),
+            lambda h_: h_, hist)
+        return x, r, v, p, rho_new, alpha, omega_new, k + 1, res, hist
+
+    state = (x, r, v, p, rho, alpha, omega, 0, r0_norm, hist)
+    x, r, v, p, rho, alpha, omega, k, res, hist = lax.while_loop(
+        cond, body, state)
+    return x, k, hist
 
 
 FIXED_KRYLOV = {

@@ -46,6 +46,9 @@ class Problem:
     nonlinear_derivative: Optional[Callable] = None
     # analytic solution at interior nodes for discretization-error checks
     exact_solution: Optional[Callable] = None
+    # outer Krylov wrapper (e.g. Helmholtz preconditioned BiCGStab); the
+    # evolved cycle then acts as the preconditioner, see problems/helmholtz.py
+    outer_solver: Optional[object] = None
 
     @property
     def finest_grid(self) -> List[Grid]:
