@@ -60,6 +60,20 @@ def _stencil_field_of(op):
     return sf
 
 
+def _nonlinear_of(op):
+    """(generator, entry) when the operator carries a nonlinear term
+    (FAS problems, problems/fas.FASOperatorGenerator), else None."""
+    entry = op
+    if isinstance(entry, system.Operator):
+        if len(entry.entries) != 1:
+            return None
+        entry = entry.entries[0][0]
+    gen = getattr(entry, "stencil_generator", None)
+    if gen is not None and hasattr(gen, "nonlinear_term"):
+        return gen, entry
+    return None
+
+
 def field_grids(expr) -> List[Grid]:
     g = expr.grid
     return g if isinstance(g, list) else [g]
@@ -228,10 +242,62 @@ class _Lowering:
     def eval_cycle(self, cycle: base.Cycle):
         omega = self.omegas[cycle.global_id]
         x = self.eval_function(cycle.approximation)
-        if cycle.partitioning is part.RedBlack and self._is_smoother(cycle.correction):
-            return self._red_black_sweep(cycle, x, omega)
+        if self._is_smoother(cycle.correction):
+            nl = self._nonlinear_smoother_parts(cycle.correction)
+            if nl is not None:
+                return self._nonlinear_smooth(cycle, x, omega, nl)
+            if cycle.partitioning is part.RedBlack:
+                return self._red_black_sweep(cycle, x, omega)
         c = self.eval_function(cycle.correction)
         return tuple(xi + omega * ci for xi, ci in zip(x, c))
+
+    @staticmethod
+    def _nonlinear_smoother_parts(corr):
+        """(generator, entry, mode, n_steps) for a nonlinear smoother
+        correction, else None.  mode: 'picard' (frozen coefficient) or
+        'newton' (Jacobian denominator, reference ir/smoother.py:41-46)."""
+        A = corr.operand2.operator
+        nl = _nonlinear_of(A)
+        if nl is None:
+            return None
+        L = corr.operand1.operand
+        if isinstance(L, base.Addition) and \
+                isinstance(L.operand2, system.Jacobian):
+            return nl + ("newton", L.operand2.n_newton_steps)
+        return nl + ("picard", 1)
+
+    def _nonlinear_smooth(self, cycle, x, omega, nl):
+        """Damped Newton-/Picard-Jacobi sweep(s):
+        u <- u + w * mask * (b - A(u)) / (diag(L) + d(u))
+        (reference FAS_2D_Basic_template.exa4 Smoother; RB coloring applies
+        the same update in two masked half-sweeps)."""
+        gen, entry, mode, n_steps = nl
+        corr = cycle.correction
+        b = self.eval_function(corr.operand2.rhs)[0]
+        st = periodic.as_periodic(entry.generate_stencil())
+        diag_lin = periodic.diagonal(st)
+        diag_val = diag_lin.to_constant().value_at(
+            (0,) * entry.grid.dimension) if diag_lin.is_constant else None
+        u = x[0]
+        if cycle.partitioning is part.RedBlack:
+            masks = red_black_masks(tuple(entry.grid.size), self.dtype)
+        else:
+            masks = (jnp.ones(tuple(entry.grid.size), self.dtype),)
+
+        def denom(u):
+            if mode == "newton":
+                d_nl = gen.nonlinear_derivative(u)
+            else:
+                d_nl = gen.nonlinear_coefficient(u)
+            if diag_val is not None:
+                return jnp.asarray(diag_val, u.dtype) + d_nl
+            return ops.apply_stencil(diag_lin, jnp.ones_like(u)) + d_nl
+
+        for _ in range(max(int(n_steps), 1)):
+            for mask in masks:
+                r = b - (ops.apply_stencil(st, u) + gen.nonlinear_term(u))
+                u = u + omega * mask * (r / denom(u))
+        return (u,)
 
     @staticmethod
     def _is_smoother(corr) -> bool:
@@ -280,6 +346,12 @@ class _Lowering:
         if isinstance(expr, base.Identity):
             return fields
         if isinstance(expr, base.Operator):
+            nl = _nonlinear_of(expr)
+            if nl is not None:
+                gen, entry = nl
+                st = entry.generate_stencil()
+                lin = ops.apply_stencil(periodic.as_periodic(st), fields[0])
+                return (lin + gen.nonlinear_term(fields[0]),)
             sf = _stencil_field_of(expr)
             if sf is not None:
                 return (sf.apply(fields[0]),)
@@ -505,11 +577,40 @@ class _Lowering:
             # evolved coarse solver: one application of the stored cycle
             return cgs.expression(fields)
         op = cgs.operator
+        nl = _nonlinear_of(op)
+        if nl is not None:
+            u0 = None
+            if getattr(cgs, "initial_guess", None) is not None:
+                u0 = self.eval_function(cgs.initial_guess)[0]
+            return self._nonlinear_coarse_solve(nl, fields, u0)
         n = sum(int(np.prod(g.size)) for g in field_grids(op))
         if n <= DIRECT_SOLVE_MAX:
             return self._apply_dense(dense_inverse(op), fields)
         matvec = lambda v: self.apply_operator(op, v)
         return solvers.cg(matvec, fields, tol=1e-12, maxiter=1000)
+
+    def _nonlinear_coarse_solve(self, nl, fields, u0=None):
+        """Coarsest nonlinear solve: fixed damped Newton-Jacobi sweeps
+        (reference FAS_2D_Basic_template.exa4 CGS@coarsest, 200 sweeps),
+        starting from the restricted solution when provided."""
+        gen, entry = nl
+        st = periodic.as_periodic(entry.generate_stencil())
+        diag_val = periodic.diagonal(st).to_constant().value_at(
+            (0,) * entry.grid.dimension)
+        b = fields[0]
+
+        def body(_, u):
+            r = b - (ops.apply_stencil(st, u) + gen.nonlinear_term(u))
+            d = jnp.asarray(diag_val, u.dtype) + gen.nonlinear_derivative(u)
+            return u + NONLINEAR_CGS_OMEGA * (r / d)
+
+        start = jnp.zeros_like(b) if u0 is None else u0
+        u = jax.lax.fori_loop(0, NONLINEAR_CGS_SWEEPS, body, start)
+        return (u,)
+
+
+NONLINEAR_CGS_SWEEPS = 200   # reference FAS CGS@coarsest: 200 smoother sweeps
+NONLINEAR_CGS_OMEGA = 0.8
 
 
 def lower_cycle(root: base.Cycle, approximation, rhs) -> LoweredCycle:

@@ -211,9 +211,13 @@ def add_level(pset: PrimitiveSet, terminals: Terminals, types: Types,
                                         restriction_operator, cycle):
         cycle = restrict(restriction_operator, cycle)
         if FAS:
-            approximation_c = base.mul(coarse_grid_solver, cycle.correction)
             restricted_solution_FAS = base.mul(restriction_operator,
                                                cycle.approximation)
+            # per-use solver node carrying the FAS initial guess
+            cgs_local = base.CoarseGridSolver(
+                coarse_grid_solver.operator, coarse_grid_solver.expression,
+                initial_guess=restricted_solution_FAS)
+            approximation_c = base.mul(cgs_local, cycle.correction)
             correction = base.mul(prolongation_operator,
                                   base.sub(approximation_c,
                                            restricted_solution_FAS))

@@ -400,9 +400,14 @@ class CoarseGridSolver(Entity):
     direct factorization or a Krylov solve.
     """
 
-    def __init__(self, operator, expression=None, name="CGS"):
+    def __init__(self, operator, expression=None, name="CGS",
+                 initial_guess=None):
         self._operator = operator
         self._expression = expression
+        # nonlinear (FAS) solves iterate from the restricted solution; the
+        # reference restricts Solution into the coarse field before CGS
+        # (FAS_2D_Basic_template.exa4 CGS@coarsest smooths in place)
+        self.initial_guess = initial_guess
         super().__init__(name, operator.grid, operator.shape)
 
     @property
