@@ -246,10 +246,57 @@ class _Lowering:
             nl = self._nonlinear_smoother_parts(cycle.correction)
             if nl is not None:
                 return self._nonlinear_smooth(cycle, x, omega, nl)
+            fused = self._try_pallas_smoother(cycle, x, omega)
+            if fused is not None:
+                return fused
             if cycle.partitioning is part.RedBlack:
                 return self._red_black_sweep(cycle, x, omega)
         c = self.eval_function(cycle.correction)
         return tuple(xi + omega * ci for xi, ci in zip(x, c))
+
+    def _try_pallas_smoother(self, cycle, x, omega):
+        """Fused single-pass smoother sweep on TPU (ops/pallas/rbgs.py):
+        scalar constant 5-point stencil with a pointwise-diagonal inverse,
+        f32/bf16, 2D.  Returns None when unsupported (generic path)."""
+        from ..config import pallas_enabled
+        if not pallas_enabled():
+            return None
+        corr = cycle.correction
+        L = corr.operand1.operand
+        residual = corr.operand2
+        if residual.approximation is not cycle.approximation:
+            return None
+        if not isinstance(L, (system.Diagonal, system.ElementwiseDiagonal,
+                              base.Diagonal)):
+            return None
+        A = residual.operator
+        entry = A
+        if isinstance(A, system.Operator):
+            if len(A.entries) != 1:
+                return None
+            entry = A.entries[0][0]
+        if not isinstance(entry, base.Operator):
+            return None
+        if _nonlinear_of(entry) is not None or \
+                _stencil_field_of(entry) is not None:
+            return None
+        st = entry.generate_stencil()
+        from ..stencils.constant import Stencil as _CS
+        if not isinstance(st, _CS):
+            return None
+        from ..ops.pallas import rbgs
+        vals = rbgs.five_point_values(st)
+        u0 = x[0]
+        if not rbgs.supports(u0, vals) or vals[0] == 0.0:
+            return None
+        b = self.eval_function(residual.rhs)[0]
+        dinv = 1.0 / vals[0]
+        om = jnp.asarray(omega, u0.dtype)
+        if cycle.partitioning is part.RedBlack:
+            return (rbgs.rbgs_sweep(u0, b, om, vals, dinv),)
+        if cycle.partitioning is part.Single:
+            return (rbgs.jacobi_sweep(u0, b, om, vals, dinv),)
+        return None
 
     @staticmethod
     def _nonlinear_smoother_parts(corr):

@@ -1,0 +1,31 @@
+"""Global framework configuration (single typed config layer replacing the
+reference's knowledge/settings/platform file rewriting — SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+
+@dataclass
+class Config:
+    #: use Pallas TPU kernels for supported hot ops (None = auto: TPU only)
+    use_pallas_kernels: Optional[bool] = None
+    #: maximum unknowns for dense coarse-grid factorization
+    direct_solve_max: int = 4096
+    #: nonlinear coarsest-grid solver sweeps (reference FAS template: 200)
+    nonlinear_cgs_sweeps: int = 200
+    nonlinear_cgs_omega: float = 0.8
+
+
+config = Config()
+
+
+def pallas_enabled() -> bool:
+    if config.use_pallas_kernels is not None:
+        return config.use_pallas_kernels
+    import jax
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False

@@ -9,7 +9,9 @@ reference's 1e-12 convergence targets (TPU benchmarks run f32/bf16 paths).
 import os
 
 # Force CPU: the session env pins JAX_PLATFORMS=axon (single-client TPU
-# tunnel), which must not be grabbed by unit tests.
+# tunnel), which must not be grabbed by unit tests.  A sitecustomize may
+# have imported jax already, so the env var alone is too late — set the
+# platform through jax.config (effective until backends initialize).
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -17,4 +19,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
