@@ -83,6 +83,10 @@ def optimize(problem, generations: int = 20, *,
 
     A_entry = fine.operator.entries[0][0]
     A_st = A_entry.generate_stencil()
+    _gen = getattr(A_entry, "stencil_generator", None)
+    A_sf = (_gen.generate_stencil_field(A_entry.grid)
+            if _gen is not None and hasattr(_gen, "generate_stencil_field")
+            else None)
     fine_shape = tuple(grid.size)
     coarse_shape = tuple((n - 1) // 2 for n in fine_shape)
     if len(problem.level_contexts) > 1:
@@ -93,16 +97,25 @@ def optimize(problem, generations: int = 20, *,
     coarse_grid = coarse_op_entry.grid if hasattr(coarse_op_entry, "grid") \
         else Grid(coarse_shape, tuple(2 * s for s in grid.spacing),
                   grid.level - 1)
-    Ac = ops_apply.dense_matrix(coarse_op_entry.generate_stencil(),
-                                coarse_grid)
+    _cgen = getattr(coarse_op_entry, "stencil_generator", None)
+    if _cgen is not None and hasattr(_cgen, "generate_stencil_field"):
+        Ac = _cgen.generate_stencil_field(coarse_grid).dense_matrix()
+    else:
+        Ac = ops_apply.dense_matrix(coarse_op_entry.generate_stencil(),
+                                    coarse_grid)
     Ac_inv = jnp.asarray(np.linalg.inv(Ac), dtype=dtype)
-    diag = dict(A_st.entries).get((0,) * dimension)
+    if A_sf is not None:
+        diag = jnp.asarray(np.asarray(A_sf.diagonal_field()), dtype=dtype)
+    else:
+        diag = dict(A_st.entries).get((0,) * dimension)
 
     def cgc_rho(weights_flat):
         wr = weights_flat[:kernel_size].reshape((width,) * dimension)
         wp = weights_flat[kernel_size:].reshape((width,) * dimension)
 
         def apply_A(u):
+            if A_sf is not None:
+                return A_sf.apply(u)
             return ops_apply.apply_constant(A_st, u)
 
         def smooth(u, b, steps):

@@ -84,10 +84,12 @@ def poisson_3d(max_level: int = 6, min_level: int = 2) -> Problem:
 
 
 def poisson_2d_variable(max_level: int = 9, min_level: int = 5) -> Problem:
-    """Variable-coefficient 2D Poisson (reference gallery.py:93-136).
+    """Variable-coefficient 2D Poisson -div(a grad u), a = exp(10 (x-x²)(y-y²))
+    (reference gallery.py:93-136).
 
-    Round-1 note: the executable operator uses the position-frozen stencil;
-    the fully variable StencilField path is wired in a later milestone.
+    The executable operator is the full per-node coefficient field
+    (gallery.Poisson2DVariableCoefficients.generate_stencil_field); the
+    position-frozen constant stencil is kept for Fourier-mode analysis.
     """
     contexts, coarsest = scalar_hierarchy(
         "Poisson2DVar", 2, max_level, min_level,

@@ -14,6 +14,8 @@ import math
 from functools import reduce
 from typing import Callable, Sequence, Tuple
 
+import numpy as np
+
 from . import constant
 from .constant import Stencil
 
@@ -87,13 +89,14 @@ class Helmholtz2D(StencilGenerator):
         ])
 
 
-def default_coefficient_2d(x: float, y: float) -> float:
-    """exp(kappa * (x - x²)(y - y²)), kappa = 10 (reference gallery.py:87-90)."""
-    return math.exp(10.0 * (x - x * x) * (y - y * y))
+def default_coefficient_2d(x, y):
+    """exp(kappa * (x - x²)(y - y²)), kappa = 10 (reference gallery.py:87-90).
+    np-vectorized so coefficient fields assemble in one shot."""
+    return np.exp(10.0 * (x - x * x) * (y - y * y))
 
 
-def default_coefficient_3d(x: float, y: float, z: float) -> float:
-    return math.exp(10.0 * (x - x * x) * (y - y * y) * (z - z * z))
+def default_coefficient_3d(x, y, z):
+    return np.exp(10.0 * (x - x * x) * (y - y * y) * (z - z * z))
 
 
 class Poisson2DVariableCoefficients(StencilGenerator):
@@ -121,6 +124,22 @@ class Poisson2DVariableCoefficients(StencilGenerator):
             ((0, 1), -an / hy ** 2), ((0, -1), -as_ / hy ** 2),
         ])
 
+    def generate_stencil_field(self, grid):
+        """Executable variable-coefficient form: cell-face coefficients
+        sampled over the whole interior grid (one field per offset)."""
+        from ..ops.apply import StencilField
+        hx, hy = grid.spacing
+        axes = [np.arange(1, n + 1) * h
+                for n, h in zip(grid.size, grid.spacing)]
+        X, Y = np.meshgrid(*axes, indexing="ij")
+        a = self.coefficient
+        ae, aw = a(X + 0.5 * hx, Y), a(X - 0.5 * hx, Y)
+        an, as_ = a(X, Y + 0.5 * hy), a(X, Y - 0.5 * hy)
+        return StencilField(
+            [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)],
+            [(ae + aw) / hx ** 2 + (an + as_) / hy ** 2,
+             -ae / hx ** 2, -aw / hx ** 2, -an / hy ** 2, -as_ / hy ** 2])
+
 
 class Poisson3DVariableCoefficients(StencilGenerator):
     def __init__(self, coefficient: Callable[[float, float, float], float] = default_coefficient_3d,
@@ -141,6 +160,23 @@ class Poisson3DVariableCoefficients(StencilGenerator):
             ((0, 1, 0), -an / hy ** 2), ((0, -1, 0), -as_ / hy ** 2),
             ((0, 0, 1), -at / hz ** 2), ((0, 0, -1), -ab / hz ** 2),
         ])
+
+    def generate_stencil_field(self, grid):
+        from ..ops.apply import StencilField
+        hx, hy, hz = grid.spacing
+        axes = [np.arange(1, n + 1) * h
+                for n, h in zip(grid.size, grid.spacing)]
+        X, Y, Z = np.meshgrid(*axes, indexing="ij")
+        a = self.coefficient
+        ae, aw = a(X + 0.5 * hx, Y, Z), a(X - 0.5 * hx, Y, Z)
+        an, as_ = a(X, Y + 0.5 * hy, Z), a(X, Y - 0.5 * hy, Z)
+        at, ab = a(X, Y, Z + 0.5 * hz), a(X, Y, Z - 0.5 * hz)
+        return StencilField(
+            [(0, 0, 0), (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+             (0, 0, 1), (0, 0, -1)],
+            [(ae + aw) / hx ** 2 + (an + as_) / hy ** 2 + (at + ab) / hz ** 2,
+             -ae / hx ** 2, -aw / hx ** 2, -an / hy ** 2, -as_ / hy ** 2,
+             -at / hz ** 2, -ab / hz ** 2])
 
 
 def _tensor(weights_1d: Sequence[float], dimension: int) -> Stencil:
