@@ -88,3 +88,61 @@ def v_cycle(levels: Sequence[LevelContext], rhs, *,
 
     u0 = levels[0].approximation
     return build(0, u0, rhs)
+
+
+def fas_v_cycle(levels: Sequence[LevelContext], rhs, *,
+                coarse_operator: system.Operator,
+                pre_smoothing: int = 2, post_smoothing: int = 2,
+                omega: float = 0.8, partitioning=part.Single,
+                smoother_factory: Optional[Callable] = None,
+                newton_steps: int = 1) -> base.Cycle:
+    """Build a nonlinear FAS V-cycle expression tree.
+
+    Tau-corrected coarse right-hand side ``f_c = R r + A_c (R u)`` with the
+    coarse solve seeded by the restricted solution and the coarse-grid
+    correction ``P (u_c - R u)`` (reference ir/reference_cycles.py:131-177,
+    exastencils_FAS.py:121-147).  The default smoother is the damped
+    Newton-Jacobi of the reference FAS template
+    (FAS_2D_Basic_template.exa4 Smoother, omega=0.8).
+    """
+    if smoother_factory is None:
+        def smoother_factory(op):
+            return smoother.generate_jacobi_newton(op, newton_steps)
+
+    def smooth_step(u, f, level, predecessor):
+        residual = base.Residual(level.operator, u, f)
+        corr = base.Multiplication(base.Inverse(smoother_factory(level.operator)),
+                                   residual)
+        return base.Cycle(u, f, corr, partitioning=partitioning,
+                          relaxation_factor=omega, predecessor=predecessor)
+
+    def seed_with_restricted_solution(u_c0, Ru, f_c):
+        # coarse initial guess = R u: cycle value = 0 + 1.0 * Ru
+        return base.Cycle(u_c0, f_c, Ru, relaxation_factor=1.0)
+
+    def build(idx, u, f, predecessor=None):
+        level = levels[idx]
+        for _ in range(pre_smoothing):
+            u = smooth_step(u, f, level, predecessor)
+        R, P = level.restriction, level.prolongation
+        residual = base.Residual(level.operator, u, f)
+        op_c = (levels[idx + 1].operator if idx + 1 < len(levels)
+                else coarse_operator)
+        Ru = base.Multiplication(R, u)
+        f_c = base.Addition(base.Multiplication(R, residual),
+                            base.Multiplication(op_c, Ru))
+        if idx + 1 < len(levels):
+            u_c0 = system.ZeroApproximation(levels[idx + 1].grid)
+            u_c = build(idx + 1, seed_with_restricted_solution(u_c0, Ru, f_c),
+                        f_c, predecessor)
+        else:
+            cgs = base.CoarseGridSolver(op_c, initial_guess=Ru)
+            u_c = base.Multiplication(cgs, f_c)
+        correction = base.Multiplication(P, base.Subtraction(u_c, Ru))
+        u = base.Cycle(u, f, correction, relaxation_factor=1.0,
+                       predecessor=predecessor)
+        for _ in range(post_smoothing):
+            u = smooth_step(u, f, level, predecessor)
+        return u
+
+    return build(0, levels[0].approximation, rhs)

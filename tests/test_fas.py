@@ -13,59 +13,13 @@ from evostencils_tpu.ir import partitioning as part
 from evostencils_tpu.problems.fas import fas_2d_basic, FASOperatorGenerator
 
 
-def build_fas_v_cycle(problem, *, pre=2, post=2, omega=0.8,
-                      partitioning=part.Single, newton_steps=1):
-    """Hand-built FAS V-cycle over all levels (mirrors the tau-corrected
-    recursion of reference ir/reference_cycles.py:131-177 generalized to
-    arbitrary depth, with Newton smoothers)."""
-    contexts = problem.level_contexts
+from evostencils_tpu.compiler.cycles import fas_v_cycle
 
-    def smooth_step(u, f, level, predecessor):
-        A = level.operator
-        residual = base.Residual(A, u, f)
-        L = smoother.generate_jacobi_newton(A, newton_steps)
-        corr = base.Multiplication(base.Inverse(L), residual)
-        cycle = base.Cycle(u, f, corr, partitioning=partitioning,
-                           relaxation_factor=omega, predecessor=predecessor)
-        return cycle
 
-    def build(idx, u, f, predecessor=None):
-        level = contexts[idx]
-        for _ in range(pre):
-            u = smooth_step(u, f, level, predecessor)
-        R, P = level.restriction, level.prolongation
-        residual = base.Residual(level.operator, u, f)
-        coarse_op = (contexts[idx + 1].operator if idx + 1 < len(contexts)
-                     else problem.coarsest_operator)
-        # FAS tau correction: f_c = R r + A_c(R u)
-        Ru = base.Multiplication(R, u)
-        f_c = base.Addition(base.Multiplication(R, residual),
-                            base.Multiplication(coarse_op, Ru))
-        if idx + 1 < len(contexts):
-            u_c0 = system.ZeroApproximation(contexts[idx + 1].grid)
-            # coarse initial guess = restricted solution
-            u_c = build(idx + 1, Ru_as_cycle(u_c0, Ru, f_c), f_c, predecessor)
-            correction_c = base.Subtraction(u_c, Ru)
-        else:
-            cgs = base.CoarseGridSolver(coarse_op, initial_guess=Ru)
-            u_c = base.Multiplication(cgs, f_c)
-            correction_c = base.Subtraction(u_c, Ru)
-        correction = base.Multiplication(P, correction_c)
-        cycle = base.Cycle(u, f, correction, relaxation_factor=1.0,
-                           predecessor=predecessor)
-        u = cycle
-        for _ in range(post):
-            u = smooth_step(u, f, level, predecessor)
-        return u
-
-    def Ru_as_cycle(u_c0, Ru, f_c):
-        # seed the coarse solve with the restricted solution:
-        # cycle value = 0 + 1.0 * Ru
-        return base.Cycle(u_c0, f_c, Ru, relaxation_factor=1.0)
-
-    u0 = problem.approximation
-    f = problem.rhs_entity
-    return build(0, u0, f)
+def build_fas_v_cycle(problem, **kwargs):
+    """Library FAS builder over a problem's full hierarchy."""
+    return fas_v_cycle(problem.level_contexts, problem.rhs_entity,
+                       coarse_operator=problem.coarsest_operator, **kwargs)
 
 
 class TestNonlinearOperator:
