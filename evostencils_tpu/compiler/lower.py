@@ -246,7 +246,7 @@ class _Lowering:
             nl = self._nonlinear_smoother_parts(cycle.correction)
             if nl is not None:
                 return self._nonlinear_smooth(cycle, x, omega, nl)
-            fused = self._try_pallas_smoother(cycle, x, omega)
+            fused = self._try_fused_smoother(cycle, x, omega)
             if fused is not None:
                 return fused
             if cycle.partitioning is part.RedBlack:
@@ -254,13 +254,11 @@ class _Lowering:
         c = self.eval_function(cycle.correction)
         return tuple(xi + omega * ci for xi, ci in zip(x, c))
 
-    def _try_pallas_smoother(self, cycle, x, omega):
-        """Fused single-pass smoother sweep on TPU (ops/pallas/rbgs.py):
-        scalar constant 5-point stencil with a pointwise-diagonal inverse,
-        f32/bf16, 2D.  Returns None when unsupported (generic path)."""
-        from ..config import pallas_enabled
-        if not pallas_enabled():
-            return None
+    def _five_point_smoother_parts(self, cycle, x):
+        """(stencil_vals, b) when the cycle is a pointwise-diagonal smoother
+        of a scalar constant 5-point 2D operator — the pattern both fast
+        sweep backends (Pallas fusion, shard_map halo pipeline) accept.
+        Returns None otherwise."""
         corr = cycle.correction
         L = corr.operand1.operand
         residual = corr.operand2
@@ -286,17 +284,42 @@ class _Lowering:
             return None
         from ..ops.pallas import rbgs
         vals = rbgs.five_point_values(st)
-        u0 = x[0]
-        if not rbgs.supports(u0, vals) or vals[0] == 0.0:
+        if vals is None or vals[0] == 0.0 or x[0].ndim != 2:
             return None
         b = self.eval_function(residual.rhs)[0]
+        return vals, b
+
+    def _try_fused_smoother(self, cycle, x, omega):
+        """Fast smoother sweep backends for the dominant pattern:
+        shard_map halo pipeline when a mesh is configured
+        (parallel/halo.py), else fused Pallas kernels on TPU
+        (ops/pallas/rbgs.py).  Returns None for the generic path."""
+        from ..config import config, pallas_enabled
+        mesh = config.shard_map_mesh
+        if mesh is None and not pallas_enabled():
+            return None
+        parts = self._five_point_smoother_parts(cycle, x)
+        if parts is None:
+            return None
+        vals, b = parts
+        u0 = x[0]
         dinv = 1.0 / vals[0]
         om = jnp.asarray(omega, u0.dtype)
-        if cycle.partitioning is part.RedBlack:
+        red_black = cycle.partitioning is part.RedBlack
+        if not red_black and cycle.partitioning is not part.Single:
+            return None
+        if mesh is not None:
+            from ..parallel import halo
+            if halo.supports(mesh, u0):
+                return (halo.sweep(mesh, u0, b, om, vals, dinv,
+                                   red_black=red_black),)
+            return None
+        from ..ops.pallas import rbgs
+        if not rbgs.supports(u0, vals):
+            return None
+        if red_black:
             return (rbgs.rbgs_sweep(u0, b, om, vals, dinv),)
-        if cycle.partitioning is part.Single:
-            return (rbgs.jacobi_sweep(u0, b, om, vals, dinv),)
-        return None
+        return (rbgs.jacobi_sweep(u0, b, om, vals, dinv),)
 
     @staticmethod
     def _nonlinear_smoother_parts(corr):

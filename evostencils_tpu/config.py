@@ -11,6 +11,12 @@ from typing import Optional
 class Config:
     #: use Pallas TPU kernels for supported hot ops (None = auto: TPU only)
     use_pallas_kernels: Optional[bool] = None
+    #: device mesh for the explicit shard_map/ppermute halo-exchange
+    #: smoother pipeline (parallel/halo.py); None = single-device / GSPMD
+    shard_map_mesh: Optional[object] = None
+    #: per-axis grid size below which a level runs replicated instead of
+    #: sharded under the halo pipeline
+    shard_min_local_size: int = 16
     #: maximum unknowns for dense coarse-grid factorization
     direct_solve_max: int = 4096
     #: nonlinear coarsest-grid solver sweeps (reference FAS template: 200)
