@@ -9,7 +9,7 @@ spanning levels L_min..L_max, coarsening 2 per axis, harmonics couple with
 period m = 2^(L_max - L_min) per axis.  For each sampled base frequency
 theta, every grid function space at level l is represented on a periodic
 lattice of m_l = m / 2^(L_max - l) points per axis, holding the envelope w
-of u(x) = e^{i theta_l . x} w(x) with theta_l = 2^(L_max - l) * theta... and
+of u(x) = e^{i theta_l . x} w(x) with theta_l = 2^(L_max - l) * theta, and
 every IR operator becomes an explicit (m_l^d x m_l^d) matrix:
 
 * a stencil becomes a circulant with modulated coefficients
@@ -22,8 +22,13 @@ every IR operator becomes an explicit (m_l^d x m_l^d) matrix:
   E = (I - w M_b B^-1 A)(I - w M_r B^-1 A).
 
 rho = max over theta samples of the spectral radius of the cycle's error
-propagator.  All matrices are built batched over the theta samples and the
-eigenvalues come from one batched eigvals call.
+propagator.
+
+The matrix work runs on one of two backends (lfa_backend.py): eager
+batched numpy, or the C++ tape engine (native/lfa_engine.cpp — OpenMP over
+frequencies, BLAS/LAPACK) mirroring the native role of LFA Lab in the
+reference.  ``backend="auto"`` picks the native engine when its shared
+library is importable.
 """
 
 from __future__ import annotations
@@ -39,13 +44,15 @@ from ..ir.krylov import KrylovSubspaceMethod
 from ..ops.apply import LATTICE_ORIGIN
 from ..stencils import periodic
 from ..stencils.periodic import PeriodicStencil
+from .lfa_backend import Handle, NumpyLfaBackend
 
 
 class _LfaContext:
-    """Per-analysis bookkeeping: sampled frequencies and lattice geometry."""
+    """Per-analysis bookkeeping: sampled frequencies, lattice geometry and
+    the active matrix backend."""
 
     def __init__(self, dimension: int, max_level: int, min_level: int,
-                 samples_per_axis: int):
+                 samples_per_axis: int, backend_factory):
         self.dimension = dimension
         self.max_level = max_level
         self.min_level = min_level
@@ -58,6 +65,7 @@ class _LfaContext:
         mesh = np.meshgrid(*axes, indexing="ij")
         self.thetas = np.stack([a.reshape(-1) for a in mesh], axis=-1)
         self.n_theta = self.thetas.shape[0]
+        self.backend = backend_factory(self.thetas)
 
     def rel(self, level: int) -> int:
         return self.max_level - level
@@ -67,10 +75,6 @@ class _LfaContext:
         if ml < 1:
             raise ValueError(f"level {level} below analysis range")
         return ml
-
-    def theta_at(self, level: int) -> np.ndarray:
-        """Modulation frequency per axis at this level: 2^rel * theta."""
-        return (2 ** self.rel(level)) * self.thetas  # (n_theta, d)
 
     def lattice_points(self, level: int) -> np.ndarray:
         ml = self.lattice_size(level)
@@ -87,14 +91,32 @@ def _grids(expr) -> List:
     return g if isinstance(g, list) else [g]
 
 
+def _resolve_backend(name: str):
+    """Backend factory from a name: 'numpy', 'native' or 'auto'."""
+    if name == "numpy":
+        return NumpyLfaBackend, "numpy"
+    from ..native import lfa_engine_available
+    if name == "native":
+        from .native_lfa import NativeLfaBackend
+        return NativeLfaBackend, "native"
+    if name == "auto":
+        if lfa_engine_available():
+            from .native_lfa import NativeLfaBackend
+            return NativeLfaBackend, "native"
+        return NumpyLfaBackend, "numpy"
+    raise ValueError(f"unknown LFA backend {name!r}")
+
+
 class ConvergenceEvaluator:
     """Spectral radius of a cycle's error propagator via native LFA
     (reference model_based_prediction/convergence.py:29-196)."""
 
     def __init__(self, dimension: int, coarsening_factors=None,
-                 finest_grid=None, samples_per_axis: int = 8):
+                 finest_grid=None, samples_per_axis: int = 8,
+                 backend: str = "auto"):
         self.dimension = dimension
         self.samples_per_axis = samples_per_axis
+        self._backend_factory, self.backend_name = _resolve_backend(backend)
         if coarsening_factors is not None:
             cf = coarsening_factors[0] if isinstance(coarsening_factors[0],
                                                      (tuple, list)) \
@@ -106,27 +128,33 @@ class ConvergenceEvaluator:
 
     def compute_spectral_radius(self, expression: base.Cycle) -> float:
         try:
-            E = self.symbol(expression)
-            eigvals = np.linalg.eigvals(E)
-            return float(np.abs(eigvals).max())
+            ctx, h = self._symbol_handle(expression)
+            return ctx.backend.spectral_radius(h)
         except (np.linalg.LinAlgError, ValueError, NotImplementedError,
-                ZeroDivisionError, KeyError):
+                ZeroDivisionError, KeyError, RuntimeError):
             return 0.0
 
     def compute_eigenvalues(self, expression: base.Cycle) -> np.ndarray:
-        return np.linalg.eigvals(self.symbol(expression)).reshape(-1)
+        ctx, h = self._symbol_handle(expression, force_numpy=True)
+        return ctx.backend.eigenvalues(h)
 
     def symbol(self, expression: base.Cycle) -> np.ndarray:
         """Error-propagator symbol, shape (n_theta, N, N) with N the fine
-        lattice space size (fields x m^d)."""
+        lattice space size (fields x m^d).  Always materialized via the
+        numpy backend."""
+        ctx, h = self._symbol_handle(expression, force_numpy=True)
+        return h.ref
+
+    def _symbol_handle(self, expression: base.Cycle, force_numpy=False):
         max_level = _grid_level(expression.grid)
         min_level = self._min_operator_level(expression)
+        factory = NumpyLfaBackend if force_numpy else self._backend_factory
         ctx = _LfaContext(self.dimension, max_level, min_level,
-                          self.samples_per_axis)
+                          self.samples_per_axis, factory)
         ctx.root_dim = len(_grids(expression)) * \
             ctx.lattice_size(max_level) ** ctx.dimension
-        memo: Dict[int, np.ndarray] = {}
-        return self._transform(expression, ctx, memo)
+        memo: Dict[int, Handle] = {}
+        return ctx, self._transform(expression, ctx, memo)
 
     @staticmethod
     def _min_operator_level(expression) -> int:
@@ -153,37 +181,33 @@ class ConvergenceEvaluator:
     # -- matrix builders -------------------------------------------------------
 
     def _circulant(self, ps: PeriodicStencil, level: int,
-                   ctx: _LfaContext) -> np.ndarray:
-        """Batched modulated circulant of a (periodic) stencil at a level."""
+                   ctx: _LfaContext) -> Handle:
+        """Modulated circulant of a (periodic) stencil at a level."""
         ml = ctx.lattice_size(level)
         d = ctx.dimension
         n = ml ** d
-        pts = ctx.lattice_points(level)                      # (n, d)
-        theta = ctx.theta_at(level)                          # (T, d)
-        out = np.zeros((ctx.n_theta, n, n), dtype=np.complex128)
+        pts = ctx.lattice_points(level)
         period = ps.period
+        entries = []
         for x_idx in range(n):
             x = pts[x_idx]
-            lat = tuple((x + LATTICE_ORIGIN) % p for x, p in zip(x, period))
+            lat = tuple((xi + LATTICE_ORIGIN) % p for xi, p in zip(x, period))
             s = ps.stencils[lat]
             if s is None:
                 continue
             for offset, value in s.entries:
                 y = tuple((xi + oi) % ml for xi, oi in zip(x, offset))
                 y_idx = int(np.ravel_multi_index(y, (ml,) * d))
-                phase = np.exp(1j * theta @ np.asarray(offset, float))
-                out[:, x_idx, y_idx] += value * phase
-        return out
+                entries.append((x_idx, y_idx, offset, value))
+        return ctx.backend.circulant(entries, ctx.rel(level), n)
 
     def _system_matrix(self, op, level: int, ctx: _LfaContext,
-                       entry_transform=None) -> np.ndarray:
+                       entry_transform=None) -> Handle:
         """Block matrix over fields of per-entry circulants."""
         entries = op.entries if isinstance(op, system.Operator) else [[op]]
         mfield = len(entries)
-        ml = ctx.lattice_size(level)
-        n = ml ** ctx.dimension
-        out = np.zeros((ctx.n_theta, mfield * n, mfield * n),
-                       dtype=np.complex128)
+        n = ctx.lattice_size(level) ** ctx.dimension
+        blocks = {}
         for i, row in enumerate(entries):
             for j, entry in enumerate(row):
                 st = entry.generate_stencil()
@@ -194,71 +218,56 @@ class ConvergenceEvaluator:
                     ps = entry_transform(ps, i, j)
                     if ps is None:
                         continue
-                out[:, i * n:(i + 1) * n, j * n:(j + 1) * n] = \
-                    self._circulant(ps, level, ctx)
-        return out
+                blocks[(i, j)] = self._circulant(ps, level, ctx)
+        if mfield == 1:
+            return blocks.get((0, 0), ctx.backend.zero(n, n))
+        return ctx.backend.block(mfield, n, blocks)
 
-    def _selection(self, fine_level: int, ctx: _LfaContext,
-                   n_fields: int) -> np.ndarray:
-        """Odd-site injection matrix (coarse lattice x fine lattice) with the
-        per-axis phase e^{i theta_l}."""
+    def _transfer_pairs(self, fine_level: int, ctx: _LfaContext):
         mlf = ctx.lattice_size(fine_level)
         mlc = ctx.lattice_size(fine_level - 1)
         d = ctx.dimension
-        nf, nc = mlf ** d, mlc ** d
-        theta = ctx.theta_at(fine_level)                      # (T, d)
-        phase = np.exp(1j * theta.sum(axis=-1))               # (T,)
-        sel = np.zeros((ctx.n_theta, nc, nf), dtype=np.complex128)
+        pairs = []
         for c_idx, c in enumerate(ctx.lattice_points(fine_level - 1)):
             f = tuple((2 * ci + 1) % mlf for ci in c)
             f_idx = int(np.ravel_multi_index(f, (mlf,) * d))
-            sel[:, c_idx, f_idx] = phase
+            pairs.append((c_idx, f_idx))
+        return pairs, mlc ** d, mlf ** d
+
+    def _selection(self, fine_level: int, ctx: _LfaContext,
+                   n_fields: int) -> Handle:
+        """Odd-site injection (coarse x fine) with per-axis phase
+        e^{i theta_l}."""
+        pairs, nc, nf = self._transfer_pairs(fine_level, ctx)
+        sel = ctx.backend.selection(pairs, ctx.rel(fine_level), nc, nf)
         if n_fields > 1:
-            eye = np.eye(n_fields)
-            sel = np.einsum("ij,tab->tiajb", eye, sel).reshape(
-                ctx.n_theta, n_fields * nc, n_fields * nf)
+            sel = ctx.backend.kron_eye(n_fields, sel)
         return sel
 
     def _embedding(self, fine_level: int, ctx: _LfaContext,
-                   n_fields: int) -> np.ndarray:
+                   n_fields: int) -> Handle:
         """Odd-site embedding (fine x coarse) with phase e^{-i theta_l};
         the transpose pattern of the selection."""
-        mlf = ctx.lattice_size(fine_level)
-        mlc = ctx.lattice_size(fine_level - 1)
-        d = ctx.dimension
-        nf, nc = mlf ** d, mlc ** d
-        theta = ctx.theta_at(fine_level)
-        phase = np.exp(-1j * theta.sum(axis=-1))
-        emb = np.zeros((ctx.n_theta, nf, nc), dtype=np.complex128)
-        for c_idx, c in enumerate(ctx.lattice_points(fine_level - 1)):
-            f = tuple((2 * ci + 1) % mlf for ci in c)
-            f_idx = int(np.ravel_multi_index(f, (mlf,) * d))
-            emb[:, f_idx, c_idx] = phase
+        pairs, nc, nf = self._transfer_pairs(fine_level, ctx)
+        emb = ctx.backend.embedding(pairs, ctx.rel(fine_level), nc, nf)
         if n_fields > 1:
-            eye = np.eye(n_fields)
-            emb = np.einsum("ij,tab->tiajb", eye, emb).reshape(
-                ctx.n_theta, n_fields * nf, n_fields * nc)
+            emb = ctx.backend.kron_eye(n_fields, emb)
         return emb
 
     def _rb_masks(self, level: int, ctx: _LfaContext,
-                  n_fields: int) -> Tuple[np.ndarray, np.ndarray]:
-        ml = ctx.lattice_size(level)
-        d = ctx.dimension
+                  n_fields: int) -> Tuple[Handle, Handle]:
         pts = ctx.lattice_points(level)
-        parity = (pts.sum(axis=1) + d * LATTICE_ORIGIN) % 2
-        red = np.diag((parity == 0).astype(np.complex128))
-        black = np.diag((parity == 1).astype(np.complex128))
+        parity = (pts.sum(axis=1) + ctx.dimension * LATTICE_ORIGIN) % 2
+        red = ctx.backend.diag((parity == 0).astype(float))
+        black = ctx.backend.diag((parity == 1).astype(float))
         if n_fields > 1:
-            eye = np.eye(n_fields)
-            red = np.kron(eye, red)
-            black = np.kron(eye, black)
-        T = ctx.n_theta
-        return (np.broadcast_to(red, (T,) + red.shape),
-                np.broadcast_to(black, (T,) + black.shape))
+            red = ctx.backend.kron_eye(n_fields, red)
+            black = ctx.backend.kron_eye(n_fields, black)
+        return red, black
 
     # -- IR recursion ----------------------------------------------------------
 
-    def _transform(self, expr, ctx: _LfaContext, memo) -> np.ndarray:
+    def _transform(self, expr, ctx: _LfaContext, memo) -> Handle:
         key = id(expr)
         if key in memo:
             return memo[key]
@@ -268,8 +277,7 @@ class ConvergenceEvaluator:
 
     def _op_identity(self, level: int, ctx: _LfaContext, n_fields: int):
         n = n_fields * ctx.lattice_size(level) ** ctx.dimension
-        return np.broadcast_to(np.eye(n, dtype=np.complex128),
-                               (ctx.n_theta, n, n))
+        return ctx.backend.identity(n)
 
     def _fn_identity(self, level: int, ctx: _LfaContext, n_fields: int):
         # only the root approximation is a non-zero entity; its symbol is
@@ -283,9 +291,9 @@ class ConvergenceEvaluator:
     def _fn_zero(self, level: int, ctx: _LfaContext, n_fields: int):
         # function symbols map from the ROOT fine space (rectangular)
         n = n_fields * ctx.lattice_size(level) ** ctx.dimension
-        return np.zeros((ctx.n_theta, n, ctx.root_dim), dtype=np.complex128)
+        return ctx.backend.zero(n, ctx.root_dim)
 
-    def _transform_impl(self, expr, ctx: _LfaContext, memo) -> np.ndarray:
+    def _transform_impl(self, expr, ctx: _LfaContext, memo) -> Handle:
         if isinstance(expr, base.Cycle):
             return self._transform_cycle(expr, ctx, memo)
         if isinstance(expr, base.Residual):
@@ -295,12 +303,13 @@ class ConvergenceEvaluator:
             approx = self._function_symbol(expr.approximation, ctx, memo,
                                            level, nf)
             A = self._operator_symbol(expr.operator, ctx, memo)
-            return rhs - A @ approx
+            return ctx.backend.sub(rhs, ctx.backend.matmul(A, approx))
         raise NotImplementedError(f"cannot transform {type(expr).__name__}")
 
-    def _function_symbol(self, expr, ctx, memo, level, n_fields):
+    def _function_symbol(self, expr, ctx, memo, level, n_fields) -> Handle:
         """Symbol of a grid-function expression as an operator on the
         initial error (reference convergence.py:113-125 semantics)."""
+        be = ctx.backend
         if isinstance(expr, (system.RightHandSide, base.RightHandSide)):
             return self._fn_zero(level, ctx, n_fields)
         if isinstance(expr, (system.ZeroApproximation, base.ZeroApproximation)):
@@ -317,24 +326,27 @@ class ConvergenceEvaluator:
             inner_nf = len(_grids(expr.operand2))
             x = self._function_symbol(expr.operand2, ctx, memo, inner_level,
                                       inner_nf)
-            return op @ x
+            return be.matmul(op, x)
         if isinstance(expr, base.Addition):
-            return (self._function_symbol(expr.operand1, ctx, memo, level,
-                                          n_fields)
-                    + self._function_symbol(expr.operand2, ctx, memo, level,
-                                            n_fields))
+            return be.add(
+                self._function_symbol(expr.operand1, ctx, memo, level,
+                                      n_fields),
+                self._function_symbol(expr.operand2, ctx, memo, level,
+                                      n_fields))
         if isinstance(expr, base.Subtraction):
-            return (self._function_symbol(expr.operand1, ctx, memo, level,
-                                          n_fields)
-                    - self._function_symbol(expr.operand2, ctx, memo, level,
-                                            n_fields))
+            return be.sub(
+                self._function_symbol(expr.operand1, ctx, memo, level,
+                                      n_fields),
+                self._function_symbol(expr.operand2, ctx, memo, level,
+                                      n_fields))
         if isinstance(expr, base.Scaling):
-            return expr.factor * self._function_symbol(
-                expr.operand, ctx, memo, level, n_fields)
+            return be.scale(expr.factor, self._function_symbol(
+                expr.operand, ctx, memo, level, n_fields))
         raise NotImplementedError(
             f"cannot take function symbol of {type(expr).__name__}")
 
-    def _transform_cycle(self, cycle: base.Cycle, ctx, memo) -> np.ndarray:
+    def _transform_cycle(self, cycle: base.Cycle, ctx, memo) -> Handle:
+        be = ctx.backend
         level = _grid_level(cycle.grid)
         nf = len(_grids(cycle))
         approx = self._function_symbol(cycle.approximation, ctx, memo, level,
@@ -355,12 +367,14 @@ class ConvergenceEvaluator:
             red, black = self._rb_masks(level, ctx, nf)
             u = approx
             for mask in (red, black):
-                u = u + omega * (mask @ Binv @ (b_sym - A @ u))
+                resid = be.sub(b_sym, be.matmul(A, u))
+                upd = be.matmul(mask, be.matmul(Binv, resid))
+                u = be.add(u, be.scale(omega, upd))
             return u
         c = self._function_symbol(corr, ctx, memo, level, nf)
-        return approx + omega * c
+        return be.add(approx, be.scale(omega, c))
 
-    def _operator_symbol(self, op, ctx, memo) -> np.ndarray:
+    def _operator_symbol(self, op, ctx, memo) -> Handle:
         key = ("op", id(op))
         if key in memo:
             return memo[key]
@@ -368,16 +382,16 @@ class ConvergenceEvaluator:
         memo[key] = result
         return result
 
-    def _operator_symbol_impl(self, op, ctx, memo) -> np.ndarray:
+    def _operator_symbol_impl(self, op, ctx, memo) -> Handle:
+        be = ctx.backend
         if isinstance(op, base.Inverse):
-            return np.linalg.inv(self._operator_symbol(op.operand, ctx, memo))
+            return be.inv(self._operator_symbol(op.operand, ctx, memo))
         if isinstance(op, base.CoarseGridSolver):
-            A = self._operator_symbol(op.operator, ctx, memo)
-            return np.linalg.inv(A)
+            return be.inv(self._operator_symbol(op.operator, ctx, memo))
         if isinstance(op, KrylovSubspaceMethod):
             # model a k-iteration Krylov solve as the exact inverse (the
             # reference maps CGS-like nodes to .inverse() as well)
-            return np.linalg.inv(self._operator_symbol(op.operator, ctx, memo))
+            return be.inv(self._operator_symbol(op.operator, ctx, memo))
         if isinstance(op, (system.Restriction,)) or (
                 isinstance(op, base.Restriction)
                 and not isinstance(op, base.ZeroRestriction)):
@@ -388,7 +402,7 @@ class ConvergenceEvaluator:
             nf = len(ops_list)
             sel = self._selection(fine_level, ctx, nf)
             weight = self._per_field_circulant(ops_list, fine_level, ctx)
-            return sel @ weight
+            return be.matmul(sel, weight)
         if isinstance(op, (system.Prolongation,)) or (
                 isinstance(op, base.Prolongation)
                 and not isinstance(op, base.ZeroProlongation)):
@@ -399,7 +413,7 @@ class ConvergenceEvaluator:
             nf = len(ops_list)
             emb = self._embedding(fine_level, ctx, nf)
             weight = self._per_field_circulant(ops_list, fine_level, ctx)
-            return weight @ emb
+            return be.matmul(weight, emb)
         if isinstance(op, system.Diagonal):
             inner = self._unwrap_system(op.operand)
             level = _grid_level(inner.grid)
@@ -425,7 +439,8 @@ class ConvergenceEvaluator:
             return self._circulant(periodic.as_periodic(st), level, ctx)
         if isinstance(op, base.ZeroOperator):
             level = _grid_level(op.grid)
-            return self._zero(level, ctx, 1)
+            n = ctx.lattice_size(level) ** ctx.dimension
+            return be.zero(n, n)
         if isinstance(op, base.Identity):
             level = _grid_level(op.grid)
             return self._op_identity(level, ctx, 1)
@@ -436,20 +451,21 @@ class ConvergenceEvaluator:
                 raise NotImplementedError(f"operator {op} has no stencil")
             return self._circulant(periodic.as_periodic(st), level, ctx)
         if isinstance(op, base.Multiplication):
-            return (self._operator_symbol(op.operand1, ctx, memo)
-                    @ self._operator_symbol(op.operand2, ctx, memo))
+            return be.matmul(self._operator_symbol(op.operand1, ctx, memo),
+                             self._operator_symbol(op.operand2, ctx, memo))
         if isinstance(op, base.Addition):
-            return (self._operator_symbol(op.operand1, ctx, memo)
-                    + self._operator_symbol(op.operand2, ctx, memo))
+            return be.add(self._operator_symbol(op.operand1, ctx, memo),
+                          self._operator_symbol(op.operand2, ctx, memo))
         if isinstance(op, base.Subtraction):
-            return (self._operator_symbol(op.operand1, ctx, memo)
-                    - self._operator_symbol(op.operand2, ctx, memo))
+            return be.sub(self._operator_symbol(op.operand1, ctx, memo),
+                          self._operator_symbol(op.operand2, ctx, memo))
         if isinstance(op, base.Scaling):
-            return op.factor * self._operator_symbol(op.operand, ctx, memo)
+            return be.scale(op.factor,
+                            self._operator_symbol(op.operand, ctx, memo))
         raise NotImplementedError(
             f"cannot take operator symbol of {type(op).__name__}")
 
-    def _per_field_circulant(self, ops_list, level, ctx) -> np.ndarray:
+    def _per_field_circulant(self, ops_list, level, ctx) -> Handle:
         mats = []
         for sub in ops_list:
             st = sub.generate_stencil()
@@ -460,15 +476,9 @@ class ConvergenceEvaluator:
                                             ctx))
         if len(mats) == 1:
             return mats[0]
-        T = ctx.n_theta
-        n = sum(m.shape[1] for m in mats)
-        out = np.zeros((T, n, n), dtype=np.complex128)
-        o = 0
-        for m in mats:
-            k = m.shape[1]
-            out[:, o:o + k, o:o + k] = m
-            o += k
-        return out
+        n = mats[0].rows
+        return ctx.backend.block(len(mats), n,
+                                 {(i, i): m for i, m in enumerate(mats)})
 
     @staticmethod
     def _unwrap_system(expr):

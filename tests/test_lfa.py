@@ -48,7 +48,8 @@ class TestSmootherSymbol:
         max_level = problem.max_level
         ctx_thetas = None
         from evostencils_tpu.prediction.convergence import _LfaContext
-        ctx = _LfaContext(2, max_level, max_level, 16)
+        from evostencils_tpu.prediction.lfa_backend import NumpyLfaBackend
+        ctx = _LfaContext(2, max_level, max_level, 16, NumpyLfaBackend)
         analytic = 1 - ctx_omega * (
             4 - 2 * np.cos(ctx.thetas[:, 0]) - 2 * np.cos(ctx.thetas[:, 1])) / 4
         np.testing.assert_allclose(E[:, 0, 0].real, analytic, rtol=1e-12)
