@@ -176,6 +176,7 @@ class LoweredCycle:
     default_omegas: np.ndarray
     grids: List[Grid]
     operator: object  # the finest-level system operator (for residuals)
+    expression: object = None  # the source Cycle IR (profiling/roofline)
 
 
 class _Lowering:
@@ -705,7 +706,7 @@ def lower_cycle(root: base.Cycle, approximation, rhs) -> LoweredCycle:
             break
 
     return LoweredCycle(step=step, n_omegas=n, default_omegas=default_omegas,
-                        grids=fine_grids, operator=fine_op)
+                        grids=fine_grids, operator=fine_op, expression=root)
 
 
 def make_cycle_applier(root: base.Cycle, approximation, rhs,

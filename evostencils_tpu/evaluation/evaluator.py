@@ -54,8 +54,17 @@ class CycleEvaluator:
                  throughput_cycles: int = 5, infinity: float = 1e100):
         self.problem = problem
         self.dtype = dtype or problem.dtype
+        if self.dtype == np.float64 and not jax.config.jax_enable_x64:
+            self.dtype = np.float32      # what the backend can actually hold
         self.max_iterations = max_iterations or problem.max_iterations
         self.target_reduction = target_reduction or problem.target_reduction
+        # f32 residuals stagnate around 1e-7 relative; measure rho at a
+        # reachable reduction and extrapolate the iteration count to the
+        # problem target with log(eps)/log(rho) — the reference's own
+        # time-to-convergence model (reference program.py:347-349)
+        self.measurement_reduction = self.target_reduction
+        if np.dtype(self.dtype).itemsize <= 4:
+            self.measurement_reduction = max(self.target_reduction, 1e-5)
         self.throughput_cycles = throughput_cycles
         self.infinity = infinity
         problem.dtype = self.dtype
@@ -77,7 +86,7 @@ class CycleEvaluator:
             solver = self._make_outer_solver(lowered, expression, outer)
         else:
             solver = make_solver(lowered, self.max_iterations,
-                                 self.target_reduction)
+                                 self.measurement_reduction)
         batched_solver = jax.jit(jax.vmap(
             lambda om: solver(self._u0, self._b, om)[1:]))
 
@@ -166,7 +175,8 @@ class CycleEvaluator:
         cycle_time = self._measure_cycle_time(entry)
         r0 = hist[0]
         converged = (r0 > 0 and np.isfinite(hist[iters])
-                     and hist[iters] <= self.target_reduction * r0 * (1 + 1e-9))
+                     and hist[iters] <= self.measurement_reduction * r0
+                     * (1 + 1e-6))
         if iters > 0 and np.isfinite(hist[iters]) and hist[iters] > 0 and r0 > 0:
             rho = float((hist[iters] / r0) ** (1.0 / iters))
         else:
@@ -175,7 +185,16 @@ class CycleEvaluator:
             return EvaluationResult(self.infinity,
                                     rho if np.isfinite(rho) else self.infinity,
                                     self.infinity)
-        return EvaluationResult(cycle_time * iters, rho, float(iters))
+        if self.measurement_reduction > self.target_reduction and rho > 0:
+            # extrapolate to the problem target (f32 measurement window)
+            iters_full = (np.log(self.target_reduction) / np.log(rho)
+                          if rho < 1 else self.infinity)
+        else:
+            iters_full = float(iters)
+        if not np.isfinite(iters_full) or iters_full > 10 * self.max_iterations:
+            return EvaluationResult(self.infinity, rho, self.infinity)
+        return EvaluationResult(cycle_time * iters_full, rho,
+                                float(np.ceil(iters_full)))
 
     # -- batched population evaluation ---------------------------------------
 
