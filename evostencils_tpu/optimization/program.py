@@ -66,9 +66,15 @@ class Optimizer:
                  problem_factory: Optional[Callable] = None,
                  convergence_evaluator=None, performance_evaluator=None,
                  model_based_estimation: bool = False,
+                 robustness_problems: Optional[List] = None,
                  rng: Optional[random.Random] = None):
         self.problem = problem
         self.evaluator = evaluator or CycleEvaluator(problem)
+        #: harder problem variants every candidate must also solve; fitness
+        #: becomes the worst case over all of them (reference Helmholtz
+        #: k-doubling robustness loop, exastencils.py:518-532)
+        self.robustness_problems = robustness_problems or []
+        self._robustness: List[tuple] = []
         self.checkpoint_directory_path = checkpoint_directory_path
         self.problem_factory = problem_factory
         self.model_based_estimation = model_based_estimation
@@ -140,12 +146,44 @@ class Optimizer:
                 self.add_individual_to_cache(ind, values)
         else:
             results = self.evaluator.evaluate_population(pending, self._pset)
-            for ind, res in zip(pending, results):
-                values = self._fitness_from_result(res)
+            values_list = [self._fitness_from_result(r) for r in results]
+            values_list = self._apply_robustness(pending, values_list)
+            for ind, values in zip(pending, values_list):
                 ind.fitness.values = values
                 self.add_individual_to_cache(ind, values)
         self.total_evaluations += len(pending)
         return len(pending)
+
+    def _apply_robustness(self, individuals, values_list):
+        """Worst-case fitness over the robustness problem variants: each
+        individual that solves the base problem is re-parsed against every
+        variant grammar and must solve that problem too."""
+        if not self._robustness:
+            return values_list
+        finite = [i for i, v in enumerate(values_list)
+                  if all(x < self.infinity for x in v)]
+        if not finite:
+            return values_list
+        values_list = list(values_list)
+        for evaluator_v, pset_v in self._robustness:
+            parsed = []
+            kept = []
+            for i in finite:
+                try:
+                    parsed.append(gp.parse_tree(str(individuals[i]), pset_v))
+                    kept.append(i)
+                except (KeyError, ValueError, SyntaxError):
+                    values_list[i] = (self.infinity,) * len(values_list[i])
+            if not parsed:
+                continue
+            results = evaluator_v.evaluate_population(parsed, pset_v)
+            for i, res in zip(kept, results):
+                vv = self._fitness_from_result(res)
+                values_list[i] = tuple(max(a, b)
+                                       for a, b in zip(values_list[i], vv))
+            finite = [i for i in kept
+                      if all(x < self.infinity for x in values_list[i])]
+        return values_list
 
     def _estimate_objectives(self, individual):
         """Model-based fitness: LFA spectral radius + roofline runtime
@@ -436,6 +474,19 @@ class Optimizer:
                 coarse_grid_solver_expression=coarse_solver_expression,
                 enable_partitioning=enable_partitioning, FAS=FAS)
             self.individual_cache.clear()
+
+            # robustness variants share the grammar shape; only supported
+            # when one run spans the full hierarchy (variant trees re-parse
+            # against the variant's own operator entities)
+            self._robustness = []
+            if self.robustness_problems and levels_per_run >= levels:
+                for variant in self.robustness_problems:
+                    pset_v, _ = generate_primitive_set(
+                        variant.approximation, variant.rhs_entity,
+                        variant.level_contexts, variant.coarsest_operator,
+                        maximum_local_system_size=maximum_local_system_size,
+                        enable_partitioning=enable_partitioning, FAS=FAS)
+                    self._robustness.append((CycleEvaluator(variant), pset_v))
 
             tmp = None
             if checkpoint is not None and \

@@ -68,6 +68,8 @@ def main():
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--f32", action="store_true")
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--no-robustness", action="store_true",
+                        help="skip the Helmholtz 2k/4k robustness variants")
     args = parser.parse_args()
 
     if args.cpu:
@@ -88,9 +90,20 @@ def main():
     if args.f32:
         problem.dtype = np.float32
     evaluator = CycleEvaluator(problem)
+    # Helmholtz: every candidate must also solve at 2k and 4k — the
+    # reference's wavenumber-doubling robustness schedule
+    # (reference scripts/optimize.py:33-37, exastencils.py:518-532)
+    robustness = []
+    if args.problem == "helmholtz2d" and not args.no_robustness:
+        from evostencils_tpu.problems.helmholtz import helmholtz_2d, K_DEFAULT
+        robustness = [
+            helmholtz_2d(max_level=args.max_level or 7,
+                         min_level=args.min_level or 3, k=2 * K_DEFAULT),
+            helmholtz_2d(max_level=args.max_level or 7,
+                         min_level=args.min_level or 3, k=4 * K_DEFAULT)]
     os.makedirs(args.output, exist_ok=True)
     optimizer = Optimizer(
-        problem, evaluator=evaluator,
+        problem, evaluator=evaluator, robustness_problems=robustness,
         checkpoint_directory_path=os.path.join(args.output, "checkpoints"),
         rng=random.Random(args.seed))
 
