@@ -319,7 +319,7 @@ class _Lowering:
         if not rbgs.supports(u0, vals):
             return None
         if red_black:
-            return (rbgs.rbgs_sweep(u0, b, om, vals, dinv),)
+            return (rbgs.fused_rbgs_sweep(u0, b, om, vals, dinv),)
         return (rbgs.jacobi_sweep(u0, b, om, vals, dinv),)
 
     @staticmethod

@@ -149,3 +149,92 @@ def rbgs_sweep(u, b, omega, stencil_vals, dinv, interpret=False):
 def jacobi_sweep(u, b, omega, stencil_vals, dinv, interpret=False):
     return _sweep_call(u, b, omega, stencil_vals=stencil_vals, dinv=dinv,
                        parity=-1, interpret=interpret)
+
+
+def _fused_rb_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
+                     b_curr_ref, b_next_ref, omega_ref, out_ref, *,
+                     c_center, c_w, c_e, c_n, c_s, dinv, block_rows, n_rows):
+    """Red AND black half-sweeps in one pass over a row block.
+
+    The black update of the block's edge rows needs post-red values of one
+    row outside the block; those are recomputed locally from a 2-row halo
+    (redundant work on 2 rows per block buys halving the HBM traffic of a
+    full sweep: u and b are streamed once instead of twice)."""
+    i = pl.program_id(0)
+    R = block_rows
+    m = u_curr_ref.shape[1]
+    r0 = i * R
+    omega = omega_ref[0, 0]
+    W = R + 4  # window rows r0-2 .. r0+R+1
+
+    # Both half-sweeps run over the FULL window (never a row sub-slice):
+    # Mosaic rejects lane-dim concats whose inputs sit at a sublane offset,
+    # so all intermediates must stay at row offset 0.  Window edge rows get
+    # zero out-of-window neighbors; their updated values are only ever used
+    # as neighbors of rows whose output is itself discarded, so the final
+    # out slice is exact.
+    u_full = jnp.concatenate([u_prev_ref[6:8, :], u_curr_ref[:],
+                              u_next_ref[0:2, :]], axis=0)       # (W, m)
+    gid = jax.lax.broadcasted_iota(jnp.int32, (W, m), 0) + r0 - 2
+    u_full = jnp.where((gid >= 0) & (gid < n_rows), u_full, 0.0)
+    b_full = jnp.concatenate([b_prev_ref[6:8, :], b_curr_ref[:],
+                              b_next_ref[0:2, :]], axis=0)       # (W, m)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (W, m), 1)
+    valid = (gid >= 0) & (gid < n_rows)
+    zr = jnp.zeros((1, m), u_full.dtype)
+    zc = jnp.zeros((W, 1), u_full.dtype)
+
+    def halfsweep(u, parity):
+        up = jnp.concatenate([zr, u[:-1, :]], axis=0)
+        dn = jnp.concatenate([u[1:, :], zr], axis=0)
+        left = jnp.concatenate([zc, u[:, :-1]], axis=1)
+        right = jnp.concatenate([u[:, 1:], zc], axis=1)
+        au = (c_center * u + c_w * up + c_e * dn
+              + c_n * left + c_s * right)
+        upd = omega * dinv * (b_full - au)
+        mask = (((gid + col) % 2) == parity) & valid
+        return u + jnp.where(mask, upd, 0.0)
+
+    u_blk = halfsweep(halfsweep(u_full, 0), 1)
+    out_ref[:] = u_blk[2:R + 2]
+
+
+def fused_rbgs_sweep(u, b, omega, stencil_vals, dinv, interpret=False):
+    """Full red-black sweep in ONE fused pass (u, b streamed once)."""
+    n, m = u.shape
+    # the fused kernel holds ~2x the live intermediates of a half-sweep;
+    # smaller row blocks keep it inside the 16 MB scoped-VMEM budget at
+    # wide grids (halo overhead is 4/R rows of redundant compute)
+    R = n if n <= 64 else 64
+    if n <= R:
+        # single block: no halo machinery needed, fall back to two passes
+        return rbgs_sweep(u, b, omega, stencil_vals, dinv,
+                          interpret=interpret)
+    grid = (pl.cdiv(n, R),)
+    c_center, c_w, c_e, c_n, c_s = stencil_vals
+    kernel = functools.partial(
+        _fused_rb_kernel, c_center=c_center, c_w=c_w, c_e=c_e, c_n=c_n,
+        c_s=c_s, dinv=dinv, block_rows=R, n_rows=n)
+
+    H = 8
+    n8 = pl.cdiv(n, H)
+    spec_prev = pl.BlockSpec(
+        (H, m), lambda i: (jnp.maximum((i * R) // H - 1, 0), 0),
+        memory_space=pltpu.VMEM)
+    spec_main = pl.BlockSpec((R, m), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    spec_next = pl.BlockSpec(
+        (H, m), lambda i: (jnp.minimum((i * R + R) // H, n8 - 1), 0),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_prev, spec_main, spec_next,
+                  spec_prev, spec_main, spec_next,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((R, m), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
+        interpret=interpret,
+    )(u, u, u, b, b, b, omega.reshape(1, 1).astype(u.dtype))
