@@ -11,8 +11,13 @@ solver of the next finer run.
 Differences by design:
 * evaluation is the batched native backend (evaluation/evaluator.py), not
   subprocess codegen — whole structure groups evaluate in one TPU program;
-* distribution will ride jax.distributed / sharded batches rather than MPI
-  ranks; the ``allgather`` seam is kept for multi-host wiring.
+* distribution rides host-level collectives over the JAX runtime
+  (parallel/comm.py) instead of mpi4py: populations stay replicated
+  (every rank runs the identical rng/selection stream — pass the same
+  seed on all ranks), evaluation is partitioned ``pending[rank::size]``
+  and (tree-string, fitness) pairs are allgathered, so a multi-host run
+  is bit-identical to the single-process run with evaluation cost
+  divided by the rank count (reference program.py:478,495-502,580-588).
 """
 
 from __future__ import annotations
@@ -32,6 +37,7 @@ from ..grammar.multigrid import generate_primitive_set
 from ..ir import base, system, transformations
 from ..compiler.lower import make_cycle_applier
 from ..evaluation.evaluator import CycleEvaluator, EvaluationResult
+from ..parallel.comm import Communicator, NullCommunicator
 from . import nsga
 
 
@@ -67,8 +73,12 @@ class Optimizer:
                  convergence_evaluator=None, performance_evaluator=None,
                  model_based_estimation: bool = False,
                  robustness_problems: Optional[List] = None,
-                 rng: Optional[random.Random] = None):
+                 rng: Optional[random.Random] = None,
+                 comm: Optional[Communicator] = None):
         self.problem = problem
+        #: host-level collectives for population-parallel evaluation;
+        #: all ranks must construct the Optimizer with the same rng seed
+        self.comm = comm or NullCommunicator()
         self.evaluator = evaluator or CycleEvaluator(problem)
         #: harder problem variants every candidate must also solve; fitness
         #: becomes the worst case over all of them (reference Helmholtz
@@ -138,19 +148,20 @@ class Optimizer:
             else:
                 pending.append(ind)
         if not pending:
-            return 0
+            return 0    # replicated state: all ranks agree, no collective
+        # partition evaluation across ranks, allgather the fitness values
+        # (reference program.py:495-502 MPI-partitioned evaluation)
+        local = self.comm.shard(pending)
         if self.model_based_estimation:
-            for ind in pending:
-                values = self._estimate_objectives(ind)
-                ind.fitness.values = values
-                self.add_individual_to_cache(ind, values)
+            local_values = [self._estimate_objectives(ind) for ind in local]
         else:
-            results = self.evaluator.evaluate_population(pending, self._pset)
-            values_list = [self._fitness_from_result(r) for r in results]
-            values_list = self._apply_robustness(pending, values_list)
-            for ind, values in zip(pending, values_list):
-                ind.fitness.values = values
-                self.add_individual_to_cache(ind, values)
+            results = self.evaluator.evaluate_population(local, self._pset)
+            local_values = [self._fitness_from_result(r) for r in results]
+            local_values = self._apply_robustness(local, local_values)
+        values_list = self.comm.allgather_shards(local_values)
+        for ind, values in zip(pending, values_list):
+            ind.fitness.values = values
+            self.add_individual_to_cache(ind, values)
         self.total_evaluations += len(pending)
         return len(pending)
 
@@ -252,7 +263,7 @@ class Optimizer:
         record = nsga.compile_statistics(population, objectives)
         logbook.append({"gen": min_generation, "nevals": len(population),
                         **record})
-        if verbose:
+        if verbose and self.comm.rank == 0:
             self._print_record(logbook[-1], objectives)
 
         count = 0
@@ -317,7 +328,7 @@ class Optimizer:
             count += 1
             record = nsga.compile_statistics(population, objectives)
             logbook.append({"gen": gen, "nevals": nevals, **record})
-            if verbose:
+            if verbose and self.comm.rank == 0:
                 self._print_record(logbook[-1], objectives)
 
         hof.update(population)
@@ -334,6 +345,8 @@ class Optimizer:
 
     def _save_checkpoint(self, min_level, max_level, gen, solver_expression,
                          population, logbooks):
+        if self.comm.rank != 0:     # rank-0-only I/O (reference :278-279)
+            return
         try:
             os.makedirs(self.checkpoint_directory_path, exist_ok=True)
             cp = CheckPoint(min_level, max_level, gen, solver_expression,
