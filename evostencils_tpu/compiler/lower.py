@@ -221,6 +221,9 @@ class _Lowering:
             ax = self.apply_operator(expr.operator, x)
             return tuple(bi - axi for bi, axi in zip(b, ax))
         if isinstance(expr, base.Multiplication):
+            fused = self._try_fused_residual_restrict(expr)
+            if fused is not None:
+                return fused
             x = self.eval_function(expr.operand2)
             return self.apply_operator(expr.operand1, x)
         if isinstance(expr, base.Addition):
@@ -252,6 +255,9 @@ class _Lowering:
                 return fused
             if cycle.partitioning is part.RedBlack:
                 return self._red_black_sweep(cycle, x, omega)
+        fused = self._try_fused_prolong_correct(cycle, x, omega)
+        if fused is not None:
+            return fused
         c = self.eval_function(cycle.correction)
         return tuple(xi + omega * ci for xi, ci in zip(x, c))
 
@@ -316,11 +322,14 @@ class _Lowering:
                                    red_black=red_black),)
             return None
         from ..ops.pallas import rbgs
+        from ..config import pallas_interpret
         if not rbgs.supports(u0, vals):
             return None
+        interp = pallas_interpret()
         if red_black:
-            return (rbgs.fused_rbgs_sweep(u0, b, om, vals, dinv),)
-        return (rbgs.jacobi_sweep(u0, b, om, vals, dinv),)
+            return (rbgs.fused_rbgs_sweep(u0, b, om, vals, dinv,
+                                          interpret=interp),)
+        return (rbgs.jacobi_sweep(u0, b, om, vals, dinv, interpret=interp),)
 
     @staticmethod
     def _nonlinear_smoother_parts(corr):
@@ -369,6 +378,112 @@ class _Lowering:
                 r = b - (ops.apply_stencil(st, u) + gen.nonlinear_term(u))
                 u = u + omega * mask * (r / denom(u))
         return (u,)
+
+    # -- fused transfer-boundary kernels (ops/pallas/transfer.py) ------------
+
+    def _transfer_three_tap(self, op):
+        """Per-axis (w[-1], w[0], w[+1]) taps of a scalar separable 2D
+        transfer operator (system wrappers unwrapped), else None."""
+        entries = getattr(op, "entries", None)
+        if entries is not None:
+            if len(entries) != 1:
+                return None
+            op = entries[0][0]
+        st = op.generate_stencil()
+        if not isinstance(st, constant.Stencil):
+            return None
+        fac = ops.separable_factors(st)
+        if fac is None:
+            return None
+        from ..ops.pallas import transfer as ptransfer
+        taps = ptransfer.three_tap(*fac)
+        if taps is None or len(taps) != 2:
+            return None
+        return taps
+
+    def _try_fused_residual_restrict(self, expr):
+        """Multiplication(Restriction, Residual) of a scalar constant
+        5-point operator: the residual and the row-direction restriction
+        fuse into one Pallas pass (u, b streamed once, half-height
+        output); the column direction rides the MXU."""
+        from ..config import config, pallas_enabled
+        if config.shard_map_mesh is not None or not pallas_enabled():
+            return None
+        R, res = expr.operand1, expr.operand2
+        if not isinstance(res, base.Residual):
+            return None
+        if not isinstance(R, (system.Restriction, base.Restriction)) or \
+                isinstance(R, base.ZeroRestriction):
+            return None
+        A = res.operator
+        entry = A
+        if isinstance(A, system.Operator):
+            if len(A.entries) != 1:
+                return None
+            entry = A.entries[0][0]
+        if not isinstance(entry, base.Operator) or type(entry) is not base.Operator:
+            return None
+        if _nonlinear_of(entry) is not None or \
+                _stencil_field_of(entry) is not None:
+            return None
+        st = entry.generate_stencil()
+        if not isinstance(st, constant.Stencil):
+            return None
+        from ..ops.pallas import rbgs
+        from ..ops.pallas import transfer as ptransfer
+        vals = rbgs.five_point_values(st)
+        if vals is None:
+            return None
+        taps = self._transfer_three_tap(R)
+        if taps is None:
+            return None
+        x = self.eval_function(res.approximation)
+        if len(x) != 1 or not ptransfer.supports(x[0]):
+            return None
+        b = self.eval_function(res.rhs)
+        u = x[0]
+        from ..config import pallas_interpret
+        rr = ptransfer.residual_rowrestrict(u, b[0], vals, taps[0],
+                                            interpret=pallas_interpret())
+        m = u.shape[1]
+        mc = (m - 1) // 2
+        Mcol = ops._restriction_axis_matrix(list(taps[1]), 1, m, mc)
+        return (rr @ jnp.asarray(Mcol, rr.dtype).T,)
+
+    def _try_fused_prolong_correct(self, cycle, x, omega):
+        """Cycle tail u + omega * Multiplication(Prolongation, e): the
+        column direction rides the MXU, the row-direction interpolation
+        and the correction add fuse into one Pallas pass over u."""
+        from ..config import config, pallas_enabled
+        if config.shard_map_mesh is not None or not pallas_enabled():
+            return None
+        corr = cycle.correction
+        if not isinstance(corr, base.Multiplication):
+            return None
+        P = corr.operand1
+        if not isinstance(P, (system.Prolongation, base.Prolongation)) or \
+                isinstance(P, base.ZeroProlongation):
+            return None
+        from ..ops.pallas import transfer as ptransfer
+        if len(x) != 1 or not ptransfer.supports(x[0]):
+            return None
+        taps = self._transfer_three_tap(P)
+        if taps is None:
+            return None
+        e = self.eval_function(corr.operand2)
+        if len(e) != 1:
+            return None
+        u = x[0]
+        n, m = u.shape
+        if e[0].dtype != u.dtype or \
+                e[0].shape != ((n - 1) // 2, (m - 1) // 2):
+            return None
+        Pm = ops._prolongation_axis_matrix(list(taps[1]), 1, m,
+                                           (m - 1) // 2)       # (m, mc)
+        c_half = e[0] @ jnp.asarray(Pm, u.dtype).T             # (nc, m)
+        from ..config import pallas_interpret
+        return (ptransfer.prolong_row_correct(u, c_half, omega, taps[0],
+                                              interpret=pallas_interpret()),)
 
     @staticmethod
     def _is_smoother(corr) -> bool:

@@ -35,3 +35,13 @@ def pallas_enabled() -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
+
+
+def pallas_interpret() -> bool:
+    """Pallas kernels run in interpret mode off-TPU (so the fused lowering
+    paths stay testable on the CPU mesh)."""
+    import jax
+    try:
+        return jax.devices()[0].platform != "tpu"
+    except Exception:
+        return True

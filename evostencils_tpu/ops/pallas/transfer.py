@@ -1,0 +1,199 @@
+"""Pallas TPU kernels fusing the V-cycle's transfer boundaries.
+
+Profiling on v5e shows the smoother sweeps (rbgs.py) already run at the
+HBM roofline; the remaining fine-level cost is the residual (an XLA
+shifted-slice stencil that re-reads u once per tap, ~6x roofline) and the
+intergrid transfers.  Mosaic on TPU cannot restructure the lane (last)
+dimension in-kernel (stride-2 slices / lane reshapes are rejected), so the
+2x coarsening factors split per axis:
+
+* the **row** (sublane) direction is fused into Pallas kernels here via
+  sublane reshapes ``(2R, m) -> (R, 2, m)``, which Mosaic supports;
+* the **column** (lane) direction stays a banded-matrix contraction on the
+  MXU (ops/apply._restriction_axis_matrix), which measures at matmul peak.
+
+Kernels:
+* ``residual_rowrestrict``: r = b - A u (constant 5-point A) fused with
+  the row-direction 3-tap restriction — u, b are streamed exactly once
+  and only the half-height row-restricted residual is written back;
+* ``prolong_row_correct``: fine-row 3-tap interpolation of the (already
+  column-prolonged) coarse correction fused with ``u += omega * P e`` —
+  replaces a scatter + stencil + add pipeline with one pass over u.
+
+Both preserve the XLA path's semantics bit-for-reassociation (tested in
+interpret mode against ops/apply.py dense-matrix transfers).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+_ROW_BLOCK_COARSE = 32   # coarse rows per grid step (fine window 68 rows)
+_ROW_BLOCK_FINE = 64     # fine rows per grid step for prolong-correct
+
+
+def three_tap(vectors, radii) -> Optional[Tuple[Tuple[float, ...], ...]]:
+    """Per-axis (w[-1], w[0], w[+1]) taps of a separable transfer stencil
+    with radius 1 per axis, else None."""
+    taps = []
+    for v, r in zip(vectors, radii):
+        if r != 1 or len(v) != 3:
+            return None
+        if any(isinstance(x, complex) for x in v):
+            return None
+        taps.append(tuple(float(x) for x in v))
+    return tuple(taps)
+
+
+# ---------------------------------------------------------------------------
+# fused residual + row restriction
+# ---------------------------------------------------------------------------
+
+def _rr_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref, b_curr_ref,
+               b_next_ref, out_ref, *, c_center, c_w, c_e, c_n, c_s,
+               wm1, w0, wp1, block_rows_c, n_rows):
+    """Coarse row block ic0..ic0+Rc-1 of the row-restricted residual.
+
+    Fine window rows 2*ic0-2 .. 2*ic0+2Rc+1 (W = 2Rc+4); coarse row ic
+    samples fine residual rows 2ic, 2ic+1, 2ic+2 with taps (wm1, w0, wp1)
+    (ops/apply._restriction_axis_matrix convention: fine j = 2i+1+o)."""
+    i = pl.program_id(0)
+    Rc = block_rows_c
+    m = u_curr_ref.shape[1]
+    W = 2 * Rc + 4
+    f0 = i * (2 * Rc)          # first fine row of the main block
+
+    u_full = jnp.concatenate([u_prev_ref[6:8, :], u_curr_ref[:],
+                              u_next_ref[0:2, :]], axis=0)        # (W, m)
+    b_full = jnp.concatenate([b_prev_ref[6:8, :], b_curr_ref[:],
+                              b_next_ref[0:2, :]], axis=0)
+    gid = jax.lax.broadcasted_iota(jnp.int32, (W, m), 0) + f0 - 2
+    valid = (gid >= 0) & (gid < n_rows)
+    u_full = jnp.where(valid, u_full, 0.0)
+
+    zr = jnp.zeros((1, m), u_full.dtype)
+    zc = jnp.zeros((W, 1), u_full.dtype)
+    up = jnp.concatenate([zr, u_full[:-1, :]], axis=0)
+    dn = jnp.concatenate([u_full[1:, :], zr], axis=0)
+    left = jnp.concatenate([zc, u_full[:, :-1]], axis=1)
+    right = jnp.concatenate([u_full[:, 1:], zc], axis=1)
+    au = (c_center * u_full + c_w * up + c_e * dn
+          + c_n * left + c_s * right)
+    r = jnp.where(valid, b_full - au, 0.0)
+
+    # fine rows 2ic0 .. 2ic0+2Rc live at window rows 2 .. 2Rc+2
+    body = r[2:2 + 2 * Rc].reshape(Rc, 2, m)
+    ev = body[:, 0, :]                       # fine rows 2ic
+    od = body[:, 1, :]                       # fine rows 2ic+1
+    ev_next = jnp.concatenate([ev[1:], r[2 + 2 * Rc:3 + 2 * Rc]], axis=0)
+    out_ref[:] = wm1 * ev + w0 * od + wp1 * ev_next
+
+
+def residual_rowrestrict(u, b, stencil_vals, row_taps, interpret=False):
+    """(nc, m) row-restricted residual of a constant 5-point operator:
+    out[ic] = wm1*r[2ic] + w0*r[2ic+1] + wp1*r[2ic+2], r = b - A u."""
+    n, m = u.shape
+    nc = (n - 1) // 2
+    Rc = _ROW_BLOCK_COARSE
+    c_center, c_w, c_e, c_n, c_s = stencil_vals
+    wm1, w0, wp1 = row_taps
+    kernel = functools.partial(
+        _rr_kernel, c_center=c_center, c_w=c_w, c_e=c_e, c_n=c_n, c_s=c_s,
+        wm1=wm1, w0=w0, wp1=wp1, block_rows_c=Rc, n_rows=n)
+
+    H = 8
+    RF = 2 * Rc
+    n8 = pl.cdiv(n, H)
+    grid = (pl.cdiv(nc, Rc),)
+    spec_prev = pl.BlockSpec(
+        (H, m), lambda i: (jnp.maximum((i * RF) // H - 1, 0), 0),
+        memory_space=pltpu.VMEM)
+    spec_main = pl.BlockSpec((RF, m), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    spec_next = pl.BlockSpec(
+        (H, m), lambda i: (jnp.minimum((i * RF + RF) // H, n8 - 1), 0),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_prev, spec_main, spec_next,
+                  spec_prev, spec_main, spec_next],
+        out_specs=pl.BlockSpec((Rc, m), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nc, m), u.dtype),
+        interpret=interpret,
+    )(u, u, u, b, b, b)
+
+
+# ---------------------------------------------------------------------------
+# fused row prolongation + correction
+# ---------------------------------------------------------------------------
+
+def _pc_kernel(u_ref, c_prev_ref, c_curr_ref, omega_ref, out_ref, *,
+               wm1, w0, wp1, block_rows_f, nc_rows):
+    """u[f] += omega * (row-interpolated c)[f] on fine row block f0..f0+R-1.
+
+    Fine row 2i+1 <- w0 * c[i]; fine row 2i <- wp1 * c[i-1] + wm1 * c[i]
+    (ops/apply._prolongation_axis_matrix convention: fine j = 2i+1+o)."""
+    i = pl.program_id(0)
+    R = block_rows_f
+    m = u_ref.shape[1]
+    Rc = R // 2
+    i0 = i * Rc                              # first coarse row
+
+    cm = c_curr_ref[:]                       # (Rc, m) coarse rows i0..
+    cgid = jax.lax.broadcasted_iota(jnp.int32, (Rc, m), 0) + i0
+    cm = jnp.where(cgid < nc_rows, cm, 0.0)
+    cprev = jnp.concatenate([c_prev_ref[7:8, :], cm[:-1, :]], axis=0)
+    cprev = jnp.where(cgid - 1 >= 0, cprev, 0.0)
+
+    evn = wp1 * cprev + wm1 * cm             # fine rows 2(i0+t)
+    odd = w0 * cm                            # fine rows 2(i0+t)+1
+    corr = jnp.stack([evn, odd], axis=1).reshape(R, m)
+    omega = omega_ref[0, 0]
+    out_ref[:] = u_ref[:] + omega * corr
+
+
+def prolong_row_correct(u, c_half, omega, row_taps, interpret=False):
+    """u + omega * P_row(c_half): c_half is the column-prolonged coarse
+    correction, shape (nc, m) against fine u of shape (n, m), n = 2nc+1."""
+    n, m = u.shape
+    nc = c_half.shape[0]
+    R = _ROW_BLOCK_FINE
+    wm1, w0, wp1 = row_taps
+    kernel = functools.partial(_pc_kernel, wm1=wm1, w0=w0, wp1=wp1,
+                               block_rows_f=R, nc_rows=nc)
+    H = 8
+    Rc = R // 2
+    grid = (pl.cdiv(n, R),)
+    spec_u = pl.BlockSpec((R, m), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_prev = pl.BlockSpec(
+        (H, m), lambda i: (jnp.maximum((i * Rc) // H - 1, 0), 0),
+        memory_space=pltpu.VMEM)
+    spec_main = pl.BlockSpec((Rc, m), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_u, spec_prev, spec_main,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=spec_u,
+        out_shape=jax.ShapeDtypeStruct((n, m), u.dtype),
+        interpret=interpret,
+    )(u, c_half, c_half,
+      jnp.asarray(omega, u.dtype).reshape(1, 1))
+
+
+def supports(u, stencil_vals=None) -> bool:
+    """Shape/dtype gate shared by both kernels (scalar 2D f32/bf16 grids
+    large enough to be worth a Pallas launch)."""
+    return (u.ndim == 2 and u.dtype in (jnp.float32, jnp.bfloat16)
+            and u.shape[0] >= 8 * _ROW_BLOCK_COARSE and u.shape[1] >= 128
+            and u.shape[0] % 2 == 1)
