@@ -50,9 +50,10 @@ def main():
     omegas = jnp.asarray(lowered.default_omegas, dtype=jnp.float32)
 
     # --- throughput: K cycles, no convergence checks in the loop ------------
-    # NOTE: the axon relay has ~30 ms per-call latency and async dispatch;
-    # a scalar checksum return forces real execution, K amortizes the RPC.
-    K = 50
+    # NOTE: the axon relay has ~25-30 ms per-call latency and async
+    # dispatch; a scalar checksum return forces real execution, K amortizes
+    # the RPC (production solve loops likewise run many cycles per launch).
+    K = 200
 
     def k_cycles(u, b_fields, om):
         def body(u, _):

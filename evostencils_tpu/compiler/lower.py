@@ -179,13 +179,94 @@ class LoweredCycle:
     expression: object = None  # the source Cycle IR (profiling/roofline)
 
 
+def _scalar_five_point(A):
+    """(center, w, e, n, s) of a scalar constant 5-point 2D system/base
+    operator with no variable coefficients or nonlinear term, else None."""
+    entry = A
+    if isinstance(A, system.Operator):
+        if len(A.entries) != 1:
+            return None
+        entry = A.entries[0][0]
+    if type(entry) is not base.Operator:
+        return None
+    if _nonlinear_of(entry) is not None or _stencil_field_of(entry) is not None:
+        return None
+    st = entry.generate_stencil()
+    if not isinstance(st, constant.Stencil):
+        return None
+    from ..ops.pallas import rbgs
+    return rbgs.five_point_values(st)
+
+
+def _plan_super_fusions(root):
+    """Structural pre-pass: find Multiplication(Restriction, Residual)
+    sites whose approximation is a chain of red-black diagonal smoother
+    cycles over the same operator and rhs — the whole pre-smoothing leg
+    then runs as ONE Pallas pass (ops/pallas/transfer.py super-kernel).
+
+    Returns (plans_by_smoother_id, plans_by_mult_id); both map to shared
+    plan dicts so the smoother result and the restricted residual come
+    from the same kernel launch."""
+    from ..ops.pallas import transfer as ptransfer
+    by_smoother: Dict[int, dict] = {}
+    by_mult: Dict[int, dict] = {}
+    for mult in transformations.find_nodes(root, base.Multiplication):
+        res = mult.operand2
+        R = mult.operand1
+        if not isinstance(res, base.Residual):
+            continue
+        if not isinstance(R, (system.Restriction, base.Restriction)) or \
+                isinstance(R, base.ZeroRestriction):
+            continue
+        vals = _scalar_five_point(res.operator)
+        if vals is None or vals[0] == 0.0:
+            continue
+        # peel the pre-smoother chain (outermost first)
+        sweeps = []
+        cur = res.approximation
+        while len(sweeps) < 3 and isinstance(cur, base.Cycle) \
+                and cur.partitioning is part.RedBlack:
+            corr = cur.correction
+            if not (isinstance(corr, base.Multiplication)
+                    and isinstance(corr.operand1, base.Inverse)
+                    and isinstance(corr.operand2, base.Residual)):
+                break
+            L = corr.operand1.operand
+            if not isinstance(L, (system.Diagonal, system.ElementwiseDiagonal,
+                                  base.Diagonal)):
+                break
+            r2 = corr.operand2
+            if r2.approximation is not cur.approximation or \
+                    r2.rhs is not res.rhs:
+                break
+            if _scalar_five_point(r2.operator) != vals:
+                break
+            sweeps.append(cur)
+            cur = cur.approximation
+        if not sweeps:
+            continue
+        plan = {"mult": mult, "res": res, "restriction": R, "vals": vals,
+                "sweeps": sweeps, "base": cur}
+        by_smoother[id(sweeps[0])] = plan
+        by_mult[id(mult)] = plan
+    return by_smoother, by_mult
+
+
 class _Lowering:
-    def __init__(self, approximation, rhs, omegas):
+    def __init__(self, approximation, rhs, omegas, root=None):
         self.omegas = omegas
         self.env: Dict[int, object] = {}
         self.memo: Dict[int, object] = {}
         self.approximation = approximation
         self.rhs = rhs
+        self._super_by_smoother: Dict[int, dict] = {}
+        self._super_by_mult: Dict[int, dict] = {}
+        self._super_results: Dict[int, object] = {}
+        if root is not None:
+            from ..config import config, pallas_enabled
+            if config.shard_map_mesh is None and pallas_enabled():
+                self._super_by_smoother, self._super_by_mult = \
+                    _plan_super_fusions(root)
 
     def bind(self, u_fields, b_fields):
         self.env[id(self.approximation)] = tuple(u_fields)
@@ -214,6 +295,11 @@ class _Lowering:
         if isinstance(expr, (system.ZeroApproximation, base.ZeroApproximation)):
             return _zeros_for(field_grids(expr), self.dtype)
         if isinstance(expr, base.Cycle):
+            plan = self._super_by_smoother.get(id(expr))
+            if plan is not None:
+                out = self._run_super_fusion(plan)
+                if out is not None:
+                    return out[0]
             return self.eval_cycle(expr)
         if isinstance(expr, base.Residual):
             b = self.eval_function(expr.rhs)
@@ -221,6 +307,11 @@ class _Lowering:
             ax = self.apply_operator(expr.operator, x)
             return tuple(bi - axi for bi, axi in zip(b, ax))
         if isinstance(expr, base.Multiplication):
+            plan = self._super_by_mult.get(id(expr))
+            if plan is not None:
+                out = self._run_super_fusion(plan)
+                if out is not None:
+                    return out[1]
             fused = self._try_fused_residual_restrict(expr)
             if fused is not None:
                 return fused
@@ -400,6 +491,40 @@ class _Lowering:
         if taps is None or len(taps) != 2:
             return None
         return taps
+
+    def _run_super_fusion(self, plan):
+        """Execute a planned pre-smooth+residual+restrict super fusion.
+
+        Returns ((u_smoothed,), (coarse_residual,)) — the first is the
+        value of the outermost pre-smoother cycle, the second the value
+        of the Multiplication(Restriction, Residual) node.  Returns None
+        when the runtime gates (dtype/shape) reject the plan; caller then
+        falls back to the generic paths."""
+        key = id(plan["mult"])
+        if key in self._super_results:
+            return self._super_results[key]
+        from ..ops.pallas import transfer as ptransfer
+        from ..config import pallas_interpret
+        taps = self._transfer_three_tap(plan["restriction"])
+        if taps is None:
+            self._super_results[key] = None
+            return None
+        x = self.eval_function(plan["base"])
+        if len(x) != 1 or not ptransfer.supports(x[0]):
+            self._super_results[key] = None
+            return None
+        b = self.eval_function(plan["res"].rhs)
+        u = x[0]
+        omegas = [self.omegas[c.global_id] for c in reversed(plan["sweeps"])]
+        u_s, rr = ptransfer.presmooth_residual_rowrestrict(
+            u, b[0], omegas, plan["vals"], taps[0],
+            interpret=pallas_interpret())
+        m = u.shape[1]
+        mc = (m - 1) // 2
+        Mcol = ops._restriction_axis_matrix(list(taps[1]), 1, m, mc)
+        result = ((u_s,), (rr @ jnp.asarray(Mcol, rr.dtype).T,))
+        self._super_results[key] = result
+        return result
 
     def _try_fused_residual_restrict(self, expr):
         """Multiplication(Restriction, Residual) of a scalar constant
@@ -806,7 +931,7 @@ def lower_cycle(root: base.Cycle, approximation, rhs) -> LoweredCycle:
     default_omegas = np.array([float(c.relaxation_factor) for c in cycles])
 
     def step(u_fields, b_fields, omegas):
-        lowering = _Lowering(approximation, rhs, omegas)
+        lowering = _Lowering(approximation, rhs, omegas, root=root)
         lowering.bind(u_fields, b_fields)
         return lowering.eval_function(root)
 

@@ -173,11 +173,15 @@ def prolong_row_correct(u, c_half, omega, row_taps, interpret=False):
     H = 8
     Rc = R // 2
     grid = (pl.cdiv(n, R),)
+    # the last fine block can map to an entirely out-of-range coarse
+    # block; clamp the index (contents are then masked via cgid)
+    cblk_max = pl.cdiv(nc, Rc) - 1
     spec_u = pl.BlockSpec((R, m), lambda i: (i, 0), memory_space=pltpu.VMEM)
     spec_prev = pl.BlockSpec(
-        (H, m), lambda i: (jnp.maximum((i * Rc) // H - 1, 0), 0),
+        (H, m), lambda i: (jnp.maximum(
+            jnp.minimum((i * Rc) // H - 1, (nc - 1) // H), 0), 0),
         memory_space=pltpu.VMEM)
-    spec_main = pl.BlockSpec((Rc, m), lambda i: (i, 0),
+    spec_main = pl.BlockSpec((Rc, m), lambda i: (jnp.minimum(i, cblk_max), 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -191,9 +195,121 @@ def prolong_row_correct(u, c_half, omega, row_taps, interpret=False):
       jnp.asarray(omega, u.dtype).reshape(1, 1))
 
 
+# ---------------------------------------------------------------------------
+# super-kernel: S red-black pre-smooth sweeps + residual + row restriction
+# ---------------------------------------------------------------------------
+
+def _smooth_rr_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
+                      b_curr_ref, b_next_ref, omega_ref, us_ref, out_ref, *,
+                      c_center, c_w, c_e, c_n, c_s, dinv, wm1, w0, wp1,
+                      block_rows_c, n_rows, n_sweeps):
+    """S fused red-black sweeps, then residual + row restriction, all in
+    one pass: u and b are streamed once for the whole pre-smoothing leg.
+
+    Window = main block + full 8-row halos each side (W = 2Rc+16); each
+    half-sweep corrupts one more window-edge row, so S <= 3 sweeps plus
+    the residual stay exact on the written rows (corruption depth 2S+1
+    <= 8).  Writes the smoothed u (consumed later by the coarse-grid
+    correction) and the row-restricted residual."""
+    i = pl.program_id(0)
+    Rc = block_rows_c
+    m = u_curr_ref.shape[1]
+    W = 2 * Rc + 16
+    f0 = i * (2 * Rc)
+
+    u = jnp.concatenate([u_prev_ref[:], u_curr_ref[:], u_next_ref[:]],
+                        axis=0)                                   # (W, m)
+    b = jnp.concatenate([b_prev_ref[:], b_curr_ref[:], b_next_ref[:]],
+                        axis=0)
+    gid = jax.lax.broadcasted_iota(jnp.int32, (W, m), 0) + f0 - 8
+    col = jax.lax.broadcasted_iota(jnp.int32, (W, m), 1)
+    valid = (gid >= 0) & (gid < n_rows)
+    u = jnp.where(valid, u, 0.0)
+
+    zr = jnp.zeros((1, m), u.dtype)
+    zc = jnp.zeros((W, 1), u.dtype)
+
+    def a_of(v):
+        up = jnp.concatenate([zr, v[:-1, :]], axis=0)
+        dn = jnp.concatenate([v[1:, :], zr], axis=0)
+        left = jnp.concatenate([zc, v[:, :-1]], axis=1)
+        right = jnp.concatenate([v[:, 1:], zc], axis=1)
+        return (c_center * v + c_w * up + c_e * dn
+                + c_n * left + c_s * right)
+
+    for k in range(n_sweeps):
+        omega = omega_ref[0, k]
+        for parity in (0, 1):
+            upd = omega * dinv * (b - a_of(u))
+            mask = (((gid + col) % 2) == parity) & valid
+            u = u + jnp.where(mask, upd, 0.0)
+
+    r = jnp.where(valid, b - a_of(u), 0.0)
+
+    us_ref[:] = u[8:8 + 2 * Rc]
+    body = r[8:8 + 2 * Rc].reshape(Rc, 2, m)
+    ev = body[:, 0, :]
+    od = body[:, 1, :]
+    ev_next = jnp.concatenate([ev[1:], r[8 + 2 * Rc:9 + 2 * Rc]], axis=0)
+    out_ref[:] = wm1 * ev + w0 * od + wp1 * ev_next
+
+
+def presmooth_residual_rowrestrict(u, b, omegas, stencil_vals, row_taps,
+                                   interpret=False):
+    """(u_smoothed, rr): ``len(omegas)`` damped red-black Gauss-Seidel
+    sweeps followed by the row-restricted residual, one HBM pass.
+
+    ``omegas`` is a sequence of (traced) relaxation factors, one per
+    sweep, applied innermost-first; must have 1 <= len <= 3."""
+    n, m = u.shape
+    nc = (n - 1) // 2
+    S = len(omegas)
+    assert 1 <= S <= 3
+    Rc = _ROW_BLOCK_COARSE
+    c_center, c_w, c_e, c_n, c_s = stencil_vals
+    wm1, w0, wp1 = row_taps
+    kernel = functools.partial(
+        _smooth_rr_kernel, c_center=c_center, c_w=c_w, c_e=c_e, c_n=c_n,
+        c_s=c_s, dinv=1.0 / c_center, wm1=wm1, w0=w0, wp1=wp1,
+        block_rows_c=Rc, n_rows=n, n_sweeps=S)
+
+    H = 8
+    RF = 2 * Rc
+    n8 = pl.cdiv(n, H)
+    # grid over FINE row blocks (covers the odd last fine row n-1 = 2nc);
+    # outputs are padded to whole blocks and sliced afterwards so no out
+    # block is ever fully out of bounds
+    nblk = pl.cdiv(n, RF)
+    grid = (nblk,)
+    spec_prev = pl.BlockSpec(
+        (H, m), lambda i: (jnp.maximum((i * RF) // H - 1, 0), 0),
+        memory_space=pltpu.VMEM)
+    spec_main = pl.BlockSpec((RF, m), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    spec_next = pl.BlockSpec(
+        (H, m), lambda i: (jnp.minimum((i * RF + RF) // H, n8 - 1), 0),
+        memory_space=pltpu.VMEM)
+    om = jnp.stack([jnp.asarray(o, u.dtype) for o in omegas]).reshape(1, S)
+    u_s, rr = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_prev, spec_main, spec_next,
+                  spec_prev, spec_main, spec_next,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec((RF, m), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((Rc, m), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((nblk * RF, m), u.dtype),
+                   jax.ShapeDtypeStruct((nblk * Rc, m), u.dtype)],
+        interpret=interpret,
+    )(u, u, u, b, b, b, om)
+    return u_s[:n], rr[:nc]
+
+
 def supports(u, stencil_vals=None) -> bool:
-    """Shape/dtype gate shared by both kernels (scalar 2D f32/bf16 grids
-    large enough to be worth a Pallas launch)."""
+    """Shape/dtype gate shared by the transfer kernels (scalar 2D
+    f32/bf16 grids spanning at least two row blocks)."""
     return (u.ndim == 2 and u.dtype in (jnp.float32, jnp.bfloat16)
-            and u.shape[0] >= 8 * _ROW_BLOCK_COARSE and u.shape[1] >= 128
-            and u.shape[0] % 2 == 1)
+            and u.shape[0] >= 4 * _ROW_BLOCK_COARSE + 1
+            and u.shape[1] >= 128 and u.shape[0] % 2 == 1)

@@ -149,3 +149,28 @@ def test_fused_lowering_matches_generic_path():
         cfgmod.config.use_pallas_kernels = old
     np.testing.assert_allclose(got, ref, rtol=0,
                                atol=1e-4 * np.max(np.abs(ref)))
+
+
+@pytest.mark.parametrize("n,m", [(513, 511), (511, 513), (521, 300),
+                                 (255, 255), (129, 140)])
+@pytest.mark.parametrize("n_sweeps", [1, 2, 3])
+def test_presmooth_residual_rowrestrict_matches_sequential(n, m, n_sweeps):
+    """Super-kernel == S sequential fused RB sweeps + residual + row
+    restriction."""
+    rng = np.random.default_rng(9)
+    u = jnp.asarray(rng.standard_normal((n, m)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((n, m)), jnp.float32)
+    omegas = [jnp.asarray(w, jnp.float32)
+              for w in (1.15, 0.8, 1.3)[:n_sweeps]]
+    taps = (0.25, 0.5, 0.25)
+    us = u
+    for om in omegas:
+        us = rbgs.rbgs_sweep(us, b, om, VALS, DINV, interpret=True)
+    want_rr = transfer.residual_rowrestrict(us, b, VALS, taps,
+                                            interpret=True)
+    got_us, got_rr = transfer.presmooth_residual_rowrestrict(
+        u, b, omegas, VALS, taps, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_us), np.asarray(us),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_rr), np.asarray(want_rr),
+                               rtol=0, atol=1e-5)
