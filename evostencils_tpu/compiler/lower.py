@@ -198,6 +198,64 @@ def _scalar_five_point(A):
     return rbgs.five_point_values(st)
 
 
+def _peel_smoother_chain(cur, rhs, vals, max_sweeps=3):
+    """Peel up to ``max_sweeps`` red-black diagonal smoother cycles over
+    the operator with stencil ``vals`` and right-hand side ``rhs``
+    (entity identity).  Returns (sweeps outermost-first, innermost expr)."""
+    sweeps = []
+    while len(sweeps) < max_sweeps and isinstance(cur, base.Cycle) \
+            and cur.partitioning is part.RedBlack:
+        corr = cur.correction
+        if not (isinstance(corr, base.Multiplication)
+                and isinstance(corr.operand1, base.Inverse)
+                and isinstance(corr.operand2, base.Residual)):
+            break
+        L = corr.operand1.operand
+        if not isinstance(L, (system.Diagonal, system.ElementwiseDiagonal,
+                              base.Diagonal)):
+            break
+        r2 = corr.operand2
+        if r2.approximation is not cur.approximation or r2.rhs is not rhs:
+            break
+        if _scalar_five_point(r2.operator) != vals:
+            break
+        sweeps.append(cur)
+        cur = cur.approximation
+    return sweeps, cur
+
+
+def _plan_post_fusions(root):
+    """Structural pre-pass for the up-leg: smoother cycle chains whose
+    innermost approximation is a coarse-grid-correction cycle
+    (correction = Multiplication(Prolongation, e)) lower as ONE Pallas
+    pass: row prolongation + correction + post-smooth sweeps
+    (ops/pallas/transfer.prolong_correct_postsmooth)."""
+    by_smoother: Dict[int, dict] = {}
+    for cyc in transformations.find_nodes(root, base.Cycle):
+        corr = cyc.correction
+        if not (isinstance(corr, base.Multiplication)
+                and isinstance(corr.operand1, base.Inverse)
+                and isinstance(corr.operand2, base.Residual)):
+            continue
+        vals = _scalar_five_point(corr.operand2.operator)
+        if vals is None or vals[0] == 0.0:
+            continue
+        rhs = corr.operand2.rhs
+        sweeps, cur = _peel_smoother_chain(cyc, rhs, vals)
+        if not sweeps or not isinstance(cur, base.Cycle):
+            continue
+        ccorr = cur.correction
+        if not isinstance(ccorr, base.Multiplication):
+            continue
+        P = ccorr.operand1
+        if not isinstance(P, (system.Prolongation, base.Prolongation)) or \
+                isinstance(P, base.ZeroProlongation):
+            continue
+        plan = {"sweeps": sweeps, "cgc": cur, "vals": vals, "rhs": rhs}
+        by_smoother[id(sweeps[0])] = plan
+    return by_smoother
+
+
 def _plan_super_fusions(root):
     """Structural pre-pass: find Multiplication(Restriction, Residual)
     sites whose approximation is a chain of red-black diagonal smoother
@@ -222,27 +280,7 @@ def _plan_super_fusions(root):
         if vals is None or vals[0] == 0.0:
             continue
         # peel the pre-smoother chain (outermost first)
-        sweeps = []
-        cur = res.approximation
-        while len(sweeps) < 3 and isinstance(cur, base.Cycle) \
-                and cur.partitioning is part.RedBlack:
-            corr = cur.correction
-            if not (isinstance(corr, base.Multiplication)
-                    and isinstance(corr.operand1, base.Inverse)
-                    and isinstance(corr.operand2, base.Residual)):
-                break
-            L = corr.operand1.operand
-            if not isinstance(L, (system.Diagonal, system.ElementwiseDiagonal,
-                                  base.Diagonal)):
-                break
-            r2 = corr.operand2
-            if r2.approximation is not cur.approximation or \
-                    r2.rhs is not res.rhs:
-                break
-            if _scalar_five_point(r2.operator) != vals:
-                break
-            sweeps.append(cur)
-            cur = cur.approximation
+        sweeps, cur = _peel_smoother_chain(res.approximation, res.rhs, vals)
         if not sweeps:
             continue
         plan = {"mult": mult, "res": res, "restriction": R, "vals": vals,
@@ -262,11 +300,13 @@ class _Lowering:
         self._super_by_smoother: Dict[int, dict] = {}
         self._super_by_mult: Dict[int, dict] = {}
         self._super_results: Dict[int, object] = {}
+        self._post_by_smoother: Dict[int, dict] = {}
         if root is not None:
             from ..config import config, pallas_enabled
             if config.shard_map_mesh is None and pallas_enabled():
                 self._super_by_smoother, self._super_by_mult = \
                     _plan_super_fusions(root)
+                self._post_by_smoother = _plan_post_fusions(root)
 
     def bind(self, u_fields, b_fields):
         self.env[id(self.approximation)] = tuple(u_fields)
@@ -300,6 +340,11 @@ class _Lowering:
                 out = self._run_super_fusion(plan)
                 if out is not None:
                     return out[0]
+            plan = self._post_by_smoother.get(id(expr))
+            if plan is not None:
+                out = self._run_post_fusion(plan)
+                if out is not None:
+                    return out
             return self.eval_cycle(expr)
         if isinstance(expr, base.Residual):
             b = self.eval_function(expr.rhs)
@@ -525,6 +570,36 @@ class _Lowering:
         result = ((u_s,), (rr @ jnp.asarray(Mcol, rr.dtype).T,))
         self._super_results[key] = result
         return result
+
+    def _run_post_fusion(self, plan):
+        """Execute a planned prolong+correct+post-smooth fusion; returns
+        the value of the outermost post-smoother cycle, or None when the
+        runtime gates reject the plan."""
+        from ..ops.pallas import transfer as ptransfer
+        from ..config import pallas_interpret
+        cgc = plan["cgc"]
+        corr = cgc.correction
+        taps = self._transfer_three_tap(corr.operand1)
+        if taps is None:
+            return None
+        x = self.eval_function(cgc.approximation)
+        if len(x) != 1 or not ptransfer.supports(x[0]):
+            return None
+        u = x[0]
+        n, m = u.shape
+        e = self.eval_function(corr.operand2)
+        if len(e) != 1 or e[0].dtype != u.dtype or \
+                e[0].shape != ((n - 1) // 2, (m - 1) // 2):
+            return None
+        b = self.eval_function(plan["rhs"])
+        omegas = [self.omegas[cgc.global_id]] + \
+            [self.omegas[c.global_id] for c in reversed(plan["sweeps"])]
+        Pm = ops._prolongation_axis_matrix(list(taps[1]), 1, m,
+                                           (m - 1) // 2)
+        c_half = e[0] @ jnp.asarray(Pm, u.dtype).T
+        return (ptransfer.prolong_correct_postsmooth(
+            u, c_half, b[0], omegas, plan["vals"], taps[0],
+            interpret=pallas_interpret()),)
 
     def _try_fused_residual_restrict(self, expr):
         """Multiplication(Restriction, Residual) of a scalar constant

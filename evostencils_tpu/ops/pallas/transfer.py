@@ -307,6 +307,130 @@ def presmooth_residual_rowrestrict(u, b, omegas, stencil_vals, row_taps,
     return u_s[:n], rr[:nc]
 
 
+# ---------------------------------------------------------------------------
+# super-kernel: prolongation + correction + S red-black post-smooth sweeps
+# ---------------------------------------------------------------------------
+
+def _pc_smooth_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
+                      b_curr_ref, b_next_ref, c_prev_ref, c_curr_ref,
+                      c_next_ref, omega_ref, out_ref, *, c_center, c_w, c_e,
+                      c_n, c_s, dinv, wm1, w0, wp1, block_rows_f, n_rows,
+                      nc_rows, n_sweeps):
+    """u += omega0 * P(c) followed by S fused red-black sweeps, one pass.
+
+    Window = fine main block + full 8-row halos (W = R+16); the row
+    interpolation corrupts one window-edge row, each half-sweep one more,
+    so S <= 3 post-sweeps stay exact on the written rows."""
+    i = pl.program_id(0)
+    R = block_rows_f
+    m = u_curr_ref.shape[1]
+    W = R + 16
+    f0 = i * R
+    Rc = R // 2
+    i0 = i * Rc
+
+    u = jnp.concatenate([u_prev_ref[:], u_curr_ref[:], u_next_ref[:]],
+                        axis=0)                                    # (W, m)
+    b = jnp.concatenate([b_prev_ref[:], b_curr_ref[:], b_next_ref[:]],
+                        axis=0)
+    gid = jax.lax.broadcasted_iota(jnp.int32, (W, m), 0) + f0 - 8
+    col = jax.lax.broadcasted_iota(jnp.int32, (W, m), 1)
+    valid = (gid >= 0) & (gid < n_rows)
+    u = jnp.where(valid, u, 0.0)
+
+    # coarse window rows i0-4 .. i0+Rc+3
+    Rcw = Rc + 8
+    c = jnp.concatenate([c_prev_ref[4:8, :], c_curr_ref[:],
+                         c_next_ref[0:4, :]], axis=0)              # (Rcw, m)
+    cgid = jax.lax.broadcasted_iota(jnp.int32, (Rcw, m), 0) + i0 - 4
+    c = jnp.where((cgid >= 0) & (cgid < nc_rows), c, 0.0)
+    zc1 = jnp.zeros((1, m), c.dtype)
+    c_shift = jnp.concatenate([zc1, c[:-1, :]], axis=0)
+    evn = wp1 * c_shift + wm1 * c                # fine rows 2*(i0-4+t)
+    odd = w0 * c                                 # fine rows 2*(i0-4+t)+1
+    # pair t -> fine rows 2*(i0-4+t) and +1, i.e. rows f0-8 .. f0+R+7:
+    # already aligned with the fine window (both start at f0-8)
+    corr = jnp.stack([evn, odd], axis=1).reshape(2 * Rcw, m)
+    omega0 = omega_ref[0, 0]
+    u = u + omega0 * jnp.where(valid, corr, 0.0)
+
+    zr = jnp.zeros((1, m), u.dtype)
+    zc = jnp.zeros((W, 1), u.dtype)
+    for k in range(n_sweeps):
+        omega = omega_ref[0, k + 1]
+        for parity in (0, 1):
+            up = jnp.concatenate([zr, u[:-1, :]], axis=0)
+            dn = jnp.concatenate([u[1:, :], zr], axis=0)
+            left = jnp.concatenate([zc, u[:, :-1]], axis=1)
+            right = jnp.concatenate([u[:, 1:], zc], axis=1)
+            au = (c_center * u + c_w * up + c_e * dn
+                  + c_n * left + c_s * right)
+            upd = omega * dinv * (b - au)
+            mask = (((gid + col) % 2) == parity) & valid
+            u = u + jnp.where(mask, upd, 0.0)
+
+    out_ref[:] = u[8:8 + R]
+
+
+def prolong_correct_postsmooth(u, c_half, b, omegas, stencil_vals, row_taps,
+                               interpret=False):
+    """u + omega0 * P_row(c_half), then ``len(omegas)-1`` damped red-black
+    Gauss-Seidel sweeps, one HBM pass over u/b/c_half.
+
+    ``omegas[0]`` is the coarse-grid-correction factor; the rest are the
+    post-smoothing factors in application order (1 <= S <= 3)."""
+    n, m = u.shape
+    nc = c_half.shape[0]
+    S = len(omegas) - 1
+    assert 1 <= S <= 3
+    R = _ROW_BLOCK_FINE
+    Rc = R // 2
+    c_center, c_w, c_e, c_n, c_s = stencil_vals
+    wm1, w0, wp1 = row_taps
+    kernel = functools.partial(
+        _pc_smooth_kernel, c_center=c_center, c_w=c_w, c_e=c_e, c_n=c_n,
+        c_s=c_s, dinv=1.0 / c_center, wm1=wm1, w0=w0, wp1=wp1,
+        block_rows_f=R, n_rows=n, nc_rows=nc, n_sweeps=S)
+
+    H = 8
+    n8 = pl.cdiv(n, H)
+    n8c = pl.cdiv(nc, H)
+    cblk_max = pl.cdiv(nc, Rc) - 1
+    nblk = pl.cdiv(n, R)
+    grid = (nblk,)
+    spec_prev = pl.BlockSpec(
+        (H, m), lambda i: (jnp.maximum((i * R) // H - 1, 0), 0),
+        memory_space=pltpu.VMEM)
+    spec_main = pl.BlockSpec((R, m), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    spec_next = pl.BlockSpec(
+        (H, m), lambda i: (jnp.minimum((i * R + R) // H, n8 - 1), 0),
+        memory_space=pltpu.VMEM)
+    spec_cprev = pl.BlockSpec(
+        (H, m), lambda i: (jnp.clip((i * Rc) // H - 1, 0, n8c - 1), 0),
+        memory_space=pltpu.VMEM)
+    spec_cmain = pl.BlockSpec(
+        (Rc, m), lambda i: (jnp.minimum(i, cblk_max), 0),
+        memory_space=pltpu.VMEM)
+    spec_cnext = pl.BlockSpec(
+        (H, m), lambda i: (jnp.minimum((i * Rc + Rc) // H, n8c - 1), 0),
+        memory_space=pltpu.VMEM)
+    om = jnp.stack([jnp.asarray(o, u.dtype) for o in omegas]).reshape(1, S + 1)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_prev, spec_main, spec_next,
+                  spec_prev, spec_main, spec_next,
+                  spec_cprev, spec_cmain, spec_cnext,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((R, m), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblk * R, m), u.dtype),
+        interpret=interpret,
+    )(u, u, u, b, b, b, c_half, c_half, c_half, om)
+    return out[:n]
+
+
 def supports(u, stencil_vals=None) -> bool:
     """Shape/dtype gate shared by the transfer kernels (scalar 2D
     f32/bf16 grids spanning at least two row blocks)."""

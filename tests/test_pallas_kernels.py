@@ -174,3 +174,25 @@ def test_presmooth_residual_rowrestrict_matches_sequential(n, m, n_sweeps):
                                rtol=0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_rr), np.asarray(want_rr),
                                rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("n,m", [(513, 511), (511, 513), (255, 255)])
+@pytest.mark.parametrize("n_sweeps", [1, 2])
+def test_prolong_correct_postsmooth_matches_sequential(n, m, n_sweeps):
+    """Up-leg super-kernel == prolong-correct + S sequential RB sweeps."""
+    rng = np.random.default_rng(11)
+    nc = (n - 1) // 2
+    u = jnp.asarray(rng.standard_normal((n, m)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((n, m)), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((nc, m)), jnp.float32)
+    taps = (0.5, 1.0, 0.5)
+    omegas = [jnp.asarray(w, jnp.float32)
+              for w in (0.9, 1.15, 0.8)[:n_sweeps + 1]]
+    want = transfer.prolong_row_correct(u, c, omegas[0], taps,
+                                        interpret=True)
+    for om in omegas[1:]:
+        want = rbgs.rbgs_sweep(want, b, om, VALS, DINV, interpret=True)
+    got = transfer.prolong_correct_postsmooth(u, c, b, omegas, VALS, taps,
+                                              interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-5)
