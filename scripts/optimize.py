@@ -70,6 +70,18 @@ def main():
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--no-robustness", action="store_true",
                         help="skip the Helmholtz 2k/4k robustness variants")
+    parser.add_argument("--model-based", action="store_true",
+                        help="LFA + roofline fitness instead of measured "
+                             "solves (reference model_based_estimation)")
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from the checkpoint in --output")
+    parser.add_argument("--islands", type=int, default=1,
+                        help="population-parallel island ranks (threads "
+                             "on one host; multi-host runs use "
+                             "jax.distributed + JaxProcessCommunicator)")
+    parser.add_argument("--generalization-interval", type=int,
+                        default=10 ** 9,
+                        help="generations between problem-size growth")
     args = parser.parse_args()
 
     if args.cpu:
@@ -86,35 +98,52 @@ def main():
     from evostencils_tpu.optimization.program import Optimizer
     from evostencils_tpu.evaluation.evaluator import CycleEvaluator
 
-    problem = get_problem(args.problem, args.max_level, args.min_level)
-    if args.f32:
-        problem.dtype = np.float32
-    evaluator = CycleEvaluator(problem)
-    # Helmholtz: every candidate must also solve at 2k and 4k — the
-    # reference's wavenumber-doubling robustness schedule
-    # (reference scripts/optimize.py:33-37, exastencils.py:518-532)
-    robustness = []
-    if args.problem == "helmholtz2d" and not args.no_robustness:
-        from evostencils_tpu.problems.helmholtz import helmholtz_2d, K_DEFAULT
-        robustness = [
-            helmholtz_2d(max_level=args.max_level or 7,
-                         min_level=args.min_level or 3, k=2 * K_DEFAULT),
-            helmholtz_2d(max_level=args.max_level or 7,
-                         min_level=args.min_level or 3, k=4 * K_DEFAULT)]
     os.makedirs(args.output, exist_ok=True)
-    optimizer = Optimizer(
-        problem, evaluator=evaluator, robustness_problems=robustness,
-        checkpoint_directory_path=os.path.join(args.output, "checkpoints"),
-        rng=random.Random(args.seed))
 
-    method = {"NSGAII": optimizer.NSGAII, "NSGAIII": optimizer.NSGAIII,
-              "SOGP": optimizer.SOGP}.get(args.method)
-    use_random_search = args.method == "RandomSearch"
-    result = optimizer.evolutionary_optimization(
-        mu_=args.mu, lambda_=args.lambda_, generations=args.generations,
-        levels_per_run=args.levels_per_run,
-        optimization_method=method if not use_random_search else None,
-        use_random_search=use_random_search)
+    def run_rank(comm):
+        """One island rank; identical seeds keep populations replicated
+        while evaluation is partitioned (parallel/comm.py)."""
+        problem = get_problem(args.problem, args.max_level, args.min_level)
+        if args.f32:
+            problem.dtype = np.float32
+        evaluator = CycleEvaluator(problem)
+        # Helmholtz: every candidate must also solve at 2k and 4k — the
+        # reference's wavenumber-doubling robustness schedule
+        # (reference scripts/optimize.py:33-37, exastencils.py:518-532)
+        robustness = []
+        if args.problem == "helmholtz2d" and not args.no_robustness:
+            from evostencils_tpu.problems.helmholtz import (helmholtz_2d,
+                                                            K_DEFAULT)
+            robustness = [
+                helmholtz_2d(max_level=args.max_level or 7,
+                             min_level=args.min_level or 3, k=2 * K_DEFAULT),
+                helmholtz_2d(max_level=args.max_level or 7,
+                             min_level=args.min_level or 3, k=4 * K_DEFAULT)]
+        optimizer = Optimizer(
+            problem, evaluator=evaluator, robustness_problems=robustness,
+            checkpoint_directory_path=os.path.join(args.output,
+                                                   "checkpoints"),
+            model_based_estimation=args.model_based,
+            problem_factory=lambda lo, hi: get_problem(args.problem, hi, lo),
+            rng=random.Random(args.seed), comm=comm)
+
+        method = {"NSGAII": optimizer.NSGAII, "NSGAIII": optimizer.NSGAIII,
+                  "SOGP": optimizer.SOGP}.get(args.method)
+        use_random_search = args.method == "RandomSearch"
+        return optimizer.evolutionary_optimization(
+            mu_=args.mu, lambda_=args.lambda_, generations=args.generations,
+            levels_per_run=args.levels_per_run,
+            generalization_interval=args.generalization_interval,
+            optimization_method=method if not use_random_search else None,
+            continue_from_checkpoint=args.resume,
+            use_random_search=use_random_search)
+
+    from evostencils_tpu.parallel import comm as comms
+    if args.islands > 1:
+        results = comms.run_island_threads([run_rank] * args.islands)
+        result = results[0]
+    else:
+        result = run_rank(comms.default_communicator())
 
     print("\nBest individual:")
     print(result["grammar_string"])
