@@ -182,6 +182,8 @@ def _fused_rb_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
 
     col = jax.lax.broadcasted_iota(jnp.int32, (W, m), 1)
     valid = (gid >= 0) & (gid < n_rows)
+    checker = ((gid + col) % 2) == 0
+    masks = (checker & valid, (~checker) & valid)
     zr = jnp.zeros((1, m), u_full.dtype)
     zc = jnp.zeros((W, 1), u_full.dtype)
 
@@ -193,8 +195,7 @@ def _fused_rb_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
         au = (c_center * u + c_w * up + c_e * dn
               + c_n * left + c_s * right)
         upd = omega * dinv * (b_full - au)
-        mask = (((gid + col) % 2) == parity) & valid
-        return u + jnp.where(mask, upd, 0.0)
+        return u + jnp.where(masks[parity], upd, 0.0)
 
     u_blk = halfsweep(halfsweep(u_full, 0), 1)
     out_ref[:] = u_blk[2:R + 2]

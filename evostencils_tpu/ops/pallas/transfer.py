@@ -225,6 +225,8 @@ def _smooth_rr_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, (W, m), 1)
     valid = (gid >= 0) & (gid < n_rows)
     u = jnp.where(valid, u, 0.0)
+    checker = ((gid + col) % 2) == 0
+    masks = (checker & valid, (~checker) & valid)   # hoisted out of sweeps
 
     zr = jnp.zeros((1, m), u.dtype)
     zc = jnp.zeros((W, 1), u.dtype)
@@ -241,8 +243,7 @@ def _smooth_rr_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
         omega = omega_ref[0, k]
         for parity in (0, 1):
             upd = omega * dinv * (b - a_of(u))
-            mask = (((gid + col) % 2) == parity) & valid
-            u = u + jnp.where(mask, upd, 0.0)
+            u = u + jnp.where(masks[parity], upd, 0.0)
 
     r = jnp.where(valid, b - a_of(u), 0.0)
 
@@ -356,6 +357,8 @@ def _pc_smooth_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
 
     zr = jnp.zeros((1, m), u.dtype)
     zc = jnp.zeros((W, 1), u.dtype)
+    checker = ((gid + col) % 2) == 0
+    masks = (checker & valid, (~checker) & valid)   # hoisted out of sweeps
     for k in range(n_sweeps):
         omega = omega_ref[0, k + 1]
         for parity in (0, 1):
@@ -366,8 +369,7 @@ def _pc_smooth_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
             au = (c_center * u + c_w * up + c_e * dn
                   + c_n * left + c_s * right)
             upd = omega * dinv * (b - au)
-            mask = (((gid + col) % 2) == parity) & valid
-            u = u + jnp.where(mask, upd, 0.0)
+            u = u + jnp.where(masks[parity], upd, 0.0)
 
     out_ref[:] = u[8:8 + R]
 
