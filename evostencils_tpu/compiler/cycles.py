@@ -90,6 +90,57 @@ def v_cycle(levels: Sequence[LevelContext], rhs, *,
     return build(0, u0, rhs)
 
 
+def f_cycle(levels: Sequence[LevelContext], rhs, *,
+            pre_smoothing: int = 2, post_smoothing: int = 1,
+            omega: float = 1.15, partitioning=part.RedBlack,
+            smoother_factory: Callable = smoother.generate_collective_jacobi,
+            coarse_solver_expression=None,
+            coarse_operator: Optional[system.Operator] = None) -> base.Cycle:
+    """Build an F-cycle expression tree: each coarse-grid problem is
+    solved by an F-cycle followed by a V-cycle on the same level (the
+    classic F-recursion; BASELINE.json north star lists evolved V/F
+    cycles on Helmholtz)."""
+
+    def build(level_idx: int, u, f, shape: str, predecessor=None):
+        level = levels[level_idx]
+        state = (u, f)
+        for _ in range(pre_smoothing):
+            state = smooth(state, level, omega, partitioning,
+                           smoother_factory)
+            state[0].predecessor = predecessor
+        u_s, _ = state
+        residual = base.Residual(level.operator, u_s, f)
+        f_c = base.Multiplication(level.restriction, residual)
+        if level_idx + 1 < len(levels):
+            u_c = system.ZeroApproximation(levels[level_idx + 1].grid)
+            if shape == "F":
+                correction_c = build(level_idx + 1, u_c, f_c, "F",
+                                     predecessor)
+                correction_c = build(level_idx + 1, correction_c, f_c, "V",
+                                     predecessor)
+            else:
+                correction_c = build(level_idx + 1, u_c, f_c, "V",
+                                     predecessor)
+            correction = base.Multiplication(level.prolongation, correction_c)
+        else:
+            if coarse_operator is None:
+                raise ValueError("coarsest-level operator required")
+            cgs = base.CoarseGridSolver(coarse_operator,
+                                        coarse_solver_expression)
+            correction = base.Multiplication(
+                level.prolongation, base.Multiplication(cgs, f_c))
+        cycle = base.Cycle(u_s, f, correction, relaxation_factor=1.0,
+                           predecessor=predecessor)
+        state = (cycle, f)
+        for _ in range(post_smoothing):
+            state = smooth(state, level, omega, partitioning,
+                           smoother_factory)
+            state[0].predecessor = predecessor
+        return state[0]
+
+    return build(0, levels[0].approximation, rhs, "F")
+
+
 def fas_v_cycle(levels: Sequence[LevelContext], rhs, *,
                 coarse_operator: system.Operator,
                 pre_smoothing: int = 2, post_smoothing: int = 2,
