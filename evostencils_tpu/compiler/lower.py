@@ -265,7 +265,6 @@ def _plan_super_fusions(root):
     Returns (plans_by_smoother_id, plans_by_mult_id); both map to shared
     plan dicts so the smoother result and the restricted residual come
     from the same kernel launch."""
-    from ..ops.pallas import transfer as ptransfer
     by_smoother: Dict[int, dict] = {}
     by_mult: Dict[int, dict] = {}
     for mult in transformations.find_nodes(root, base.Multiplication):
@@ -615,25 +614,10 @@ class _Lowering:
         if not isinstance(R, (system.Restriction, base.Restriction)) or \
                 isinstance(R, base.ZeroRestriction):
             return None
-        A = res.operator
-        entry = A
-        if isinstance(A, system.Operator):
-            if len(A.entries) != 1:
-                return None
-            entry = A.entries[0][0]
-        if not isinstance(entry, base.Operator) or type(entry) is not base.Operator:
-            return None
-        if _nonlinear_of(entry) is not None or \
-                _stencil_field_of(entry) is not None:
-            return None
-        st = entry.generate_stencil()
-        if not isinstance(st, constant.Stencil):
-            return None
-        from ..ops.pallas import rbgs
-        from ..ops.pallas import transfer as ptransfer
-        vals = rbgs.five_point_values(st)
+        vals = _scalar_five_point(res.operator)
         if vals is None:
             return None
+        from ..ops.pallas import transfer as ptransfer
         taps = self._transfer_three_tap(R)
         if taps is None:
             return None
@@ -1039,7 +1023,8 @@ def make_cycle_applier(root: base.Cycle, approximation, rhs,
         omegas = np.array([float(c.relaxation_factor) for c in cycles])
 
     def apply_fn(fields):
-        lowering = _Lowering(approximation, rhs, jnp.asarray(omegas))
+        lowering = _Lowering(approximation, rhs, jnp.asarray(omegas),
+                             root=root)
         u0 = tuple(jnp.zeros_like(f) for f in fields)
         lowering.bind(u0, tuple(fields))
         return lowering.eval_function(root)

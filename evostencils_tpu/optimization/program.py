@@ -15,9 +15,10 @@ Differences by design:
   (parallel/comm.py) instead of mpi4py: populations stay replicated
   (every rank runs the identical rng/selection stream — pass the same
   seed on all ranks), evaluation is partitioned ``pending[rank::size]``
-  and (tree-string, fitness) pairs are allgathered, so a multi-host run
-  is bit-identical to the single-process run with evaluation cost
-  divided by the rank count (reference program.py:478,495-502,580-588).
+  and (tree-string, fitness) pairs are allgathered, dividing evaluation
+  cost by the rank count (reference program.py:478,495-502,580-588);
+  with deterministic (model-based) fitness a multi-rank run is
+  bit-identical to the single-process run.
 """
 
 from __future__ import annotations
@@ -256,6 +257,18 @@ class Optimizer:
             min_generation = 0
             logbook = []
             logbooks.append(logbook)
+
+        if self.comm.size > 1:
+            # the sharded-evaluation contract requires replicated
+            # populations (same rng seed on every rank) — fail loudly
+            # instead of silently assigning fitness to wrong individuals
+            digest = hash(tuple(sorted(str(i) for i in population)))
+            digests = self.comm.allgather_object(digest)
+            if len(set(digests)) != 1:
+                raise RuntimeError(
+                    "island ranks generated different populations; all "
+                    "ranks must construct the Optimizer with the same "
+                    "rng seed (parallel/comm.py replication contract)")
 
         self.evaluate_invalid(population)
         population = select(population, mu_)

@@ -20,8 +20,13 @@ rank-0-only I/O).  Three implementations:
 The optimizer keeps populations replicated: every rank runs the identical
 generation/selection stream (same rng seed), only *evaluation* is
 partitioned ``pending[rank::size]`` and the (tree-string, fitness) pairs
-are allgathered — the semantics of a run are bit-identical to the
-single-process run, evaluation cost divides by the rank count.
+are allgathered — evaluation cost divides by the rank count while ranks
+stay mutually consistent.  With deterministic fitness (model-based
+estimation) a multi-rank run is bit-identical to the single-process run;
+with *measured* fitness, wall-clock objectives additionally reflect
+device contention between concurrently evaluating ranks (thread islands
+share one accelerator), so selections can differ from a solo run within
+timing noise.
 """
 
 from __future__ import annotations

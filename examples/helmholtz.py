@@ -20,9 +20,6 @@ import random
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import numpy as np
-
-
 def main():
     max_level = int(os.environ.get("ES_LEVELS", 6))
     gens = int(os.environ.get("ES_GENS", 5))
@@ -67,7 +64,7 @@ def main():
                              k=2 * K_DEFAULT)]
     opt = Optimizer(problem, evaluator=evaluator,
                     robustness_problems=variants,
-                    checkpoint_directory_path="./checkpoints_helmholtz",
+                    checkpoint_directory_path="/tmp/es_checkpoints_helmholtz",
                     rng=random.Random(0))
     result = opt.evolutionary_optimization(
         mu_=mu, lambda_=mu, population_initialization_factor=2,

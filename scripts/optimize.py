@@ -140,6 +140,11 @@ def main():
 
     from evostencils_tpu.parallel import comm as comms
     if args.islands > 1:
+        # island ranks MUST share one seed: populations stay replicated
+        # and only evaluation is partitioned (parallel/comm.py contract)
+        if args.seed is None:
+            args.seed = random.randrange(2 ** 63)
+            print(f"[islands] generated shared seed {args.seed}")
         results = comms.run_island_threads([run_rank] * args.islands)
         result = results[0]
     else:
