@@ -239,10 +239,20 @@ def _smooth_rr_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
         return (c_center * v + c_w * up + c_e * dn
                 + c_n * left + c_s * right)
 
+    # Jacobi form u + w*m*dinv*(b - Au) = u + w*m*(bd - u - offdiag'(u))
+    # with dinv folded into the off-diagonal coefficients at trace time
+    # and bd = dinv*b hoisted out of the sweeps (VPU-bound kernel).
+    dw, de, dn_, ds = (c_w * dinv, c_e * dinv, c_n * dinv, c_s * dinv)
+    bd = dinv * b
     for k in range(n_sweeps):
         omega = omega_ref[0, k]
         for parity in (0, 1):
-            upd = omega * dinv * (b - a_of(u))
+            up = jnp.concatenate([zr, u[:-1, :]], axis=0)
+            dn = jnp.concatenate([u[1:, :], zr], axis=0)
+            left = jnp.concatenate([zc, u[:, :-1]], axis=1)
+            right = jnp.concatenate([u[:, 1:], zc], axis=1)
+            upd = omega * (bd - u - (dw * up + de * dn
+                                     + dn_ * left + ds * right))
             u = u + jnp.where(masks[parity], upd, 0.0)
 
     r = jnp.where(valid, b - a_of(u), 0.0)
@@ -359,6 +369,8 @@ def _pc_smooth_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
     zc = jnp.zeros((W, 1), u.dtype)
     checker = ((gid + col) % 2) == 0
     masks = (checker & valid, (~checker) & valid)   # hoisted out of sweeps
+    dw, de, dn_, ds = (c_w * dinv, c_e * dinv, c_n * dinv, c_s * dinv)
+    bd = dinv * b
     for k in range(n_sweeps):
         omega = omega_ref[0, k + 1]
         for parity in (0, 1):
@@ -366,9 +378,8 @@ def _pc_smooth_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
             dn = jnp.concatenate([u[1:, :], zr], axis=0)
             left = jnp.concatenate([zc, u[:, :-1]], axis=1)
             right = jnp.concatenate([u[:, 1:], zc], axis=1)
-            au = (c_center * u + c_w * up + c_e * dn
-                  + c_n * left + c_s * right)
-            upd = omega * dinv * (b - au)
+            upd = omega * (bd - u - (dw * up + de * dn
+                                     + dn_ * left + ds * right))
             u = u + jnp.where(masks[parity], upd, 0.0)
 
     out_ref[:] = u[8:8 + R]
