@@ -168,3 +168,34 @@ class TestApply:
         Rd = ops.dense_restriction_matrix(R, fine, coarse)
         Pd = ops.dense_prolongation_matrix(P, fine, coarse)
         np.testing.assert_allclose(Pd, (2 ** 2) * Rd.T, rtol=1e-12)
+
+
+class TestTreeAnalyses:
+    def test_find_independent_field_sets(self):
+        from evostencils_tpu.ir import base, system, transformations
+        from evostencils_tpu.grids import unit_interval_grid
+        from evostencils_tpu.stencils import gallery
+        g = unit_interval_grid(2, 4)
+        A = base.Operator("A", g, gallery.Poisson2D())
+        Z = base.ZeroOperator(g)
+        # block-diagonal 2x2 system: fields decouple
+        op = system.Operator("S", [[A, Z], [Z, A]])
+        assert transformations.find_independent_field_sets(op) == [[0], [1]]
+        # coupled system: one group
+        op2 = system.Operator("S2", [[A, A], [Z, A]])
+        assert transformations.find_independent_field_sets(op2) == [[0, 1]]
+
+    def test_expression_to_dot(self, tmp_path):
+        from evostencils_tpu.ir import transformations
+        from evostencils_tpu.ir.reference_cycles import (
+            generate_v_22_cycle_two_grid)
+        from evostencils_tpu.problems.poisson import poisson_2d
+        problem = poisson_2d(max_level=4, min_level=3)
+        cycle = generate_v_22_cycle_two_grid(
+            problem.level_contexts[0], problem.coarsest_operator,
+            problem.rhs_entity)
+        out = tmp_path / "tree.dot"
+        text = transformations.expression_to_dot(cycle, str(out))
+        assert text.startswith("digraph")
+        assert "Cycle" in text and "->" in text
+        assert out.read_text() == text
