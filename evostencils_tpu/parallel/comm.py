@@ -178,6 +178,25 @@ class JaxProcessCommunicator(Communicator):
                 for r in range(self.size)]
 
 
+def initialize_multihost(coordinator_address: str = None,
+                         num_processes: int = None,
+                         process_id: int = None) -> Communicator:
+    """Bring up the JAX multi-host runtime and return the process
+    communicator (replaces the reference's `mpiexec` + mpi4py bootstrap,
+    reference scripts/optimize.py:39-48).
+
+    With no arguments, jax.distributed auto-detects the cluster from the
+    TPU environment (megascale/GCE metadata); explicit arguments support
+    manual CPU/GPU clusters."""
+    import jax
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+    return JaxProcessCommunicator()
+
+
 def default_communicator() -> Communicator:
     """JaxProcessCommunicator when running multi-host, else the no-op."""
     try:
