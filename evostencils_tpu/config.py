@@ -7,6 +7,28 @@ from dataclasses import dataclass
 from typing import Optional
 
 
+def enable_persistent_compilation_cache(path: Optional[str] = None) -> None:
+    """Turn on XLA's persistent compile cache (idempotent).
+
+    Every distinct evolved cycle structure is a distinct XLA program;
+    on TPU a cold compile costs tens of seconds, so the cache is the
+    main lever on evolution-loop latency (SURVEY.md §7 'recompilation
+    pressure').  Called automatically by CycleEvaluator."""
+    import os
+    import jax
+    path = path or os.environ.get(
+        "EVOSTENCILS_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    try:
+        if not jax.config.jax_compilation_cache_dir:
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+    except Exception:
+        pass
+
+
 @dataclass
 class Config:
     #: use Pallas TPU kernels for supported hot ops (None = auto: TPU only)

@@ -52,6 +52,8 @@ class CycleEvaluator:
     def __init__(self, problem, *, dtype=None, max_iterations: Optional[int] = None,
                  target_reduction: Optional[float] = None,
                  throughput_cycles: int = 5, infinity: float = 1e100):
+        from ..config import enable_persistent_compilation_cache
+        enable_persistent_compilation_cache()
         self.problem = problem
         self.dtype = dtype or problem.dtype
         if self.dtype == np.float64 and not jax.config.jax_enable_x64:
