@@ -40,6 +40,63 @@ from ..stencils import constant, periodic
 
 DIRECT_SOLVE_MAX = 4096
 
+
+def _col_restrict(rr, taps, m):
+    """Column-direction (lane-axis) 3-tap restriction of a row-restricted
+    residual.  Mode (config.column_transfer_mode / banded auto):
+
+    * ``matmul``    — dense banded (mc, m) contraction on the MXU
+    * ``conv``      — stride-2 window-3 convolution along the lane axis
+    * ``transpose`` — transpose, sublane-axis banded slices, transpose back
+    * ``banded``    — lane-axis strided slices (fast off-TPU)
+    """
+    from ..config import column_transfer_mode
+    mode = column_transfer_mode()
+    if mode == "banded":
+        return ops.axis_restrict_3tap(rr, 1, taps)
+    if mode == "conv":
+        k = jnp.asarray(taps, rr.dtype).reshape(1, 1, 1, 3)
+        out = jax.lax.conv_general_dilated(
+            rr[None, None], k, window_strides=(1, 2), padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        return out[0, 0]
+    if mode == "transpose":
+        return ops.axis_restrict_3tap(rr.T, 0, taps).T
+    mc = (m - 1) // 2
+    Mcol = ops._restriction_axis_matrix(list(taps), 1, m, mc)
+    if mode == "matmul_bf16" and rr.dtype == jnp.float32:
+        return jax.lax.dot(rr.astype(jnp.bfloat16),
+                           jnp.asarray(Mcol, jnp.bfloat16).T,
+                           preferred_element_type=jnp.float32)
+    return rr @ jnp.asarray(Mcol, rr.dtype).T
+
+
+def _col_prolong(e, taps, m):
+    """Column-direction (lane-axis) 3-tap prolongation of the coarse
+    correction (modes as in _col_restrict)."""
+    from ..config import column_transfer_mode
+    mode = column_transfer_mode()
+    if mode == "banded":
+        return ops.axis_prolong_3tap(e, 1, taps, m)
+    if mode == "conv":
+        # transposed conv: dilate the coarse lanes by 2, window 3.
+        # fine j = 2i+1+o picks tap w[1-o] at dilated position 2i —
+        # kernel reversed relative to the restriction stencil.
+        k = jnp.asarray(taps[::-1], e.dtype).reshape(1, 1, 1, 3)
+        out = jax.lax.conv_general_dilated(
+            e[None, None], k, window_strides=(1, 1), padding=((0, 0), (2, 2)),
+            lhs_dilation=(1, 2),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        return out[0, 0]
+    if mode == "transpose":
+        return ops.axis_prolong_3tap(e.T, 0, taps, m).T
+    Pm = ops._prolongation_axis_matrix(list(taps), 1, m, (m - 1) // 2)
+    if mode == "matmul_bf16" and e.dtype == jnp.float32:
+        return jax.lax.dot(e.astype(jnp.bfloat16),
+                           jnp.asarray(Pm, jnp.bfloat16).T,
+                           preferred_element_type=jnp.float32)
+    return e @ jnp.asarray(Pm, e.dtype).T
+
 _DENSE_INVERSE_CACHE: dict = {}
 
 
@@ -396,11 +453,11 @@ class _Lowering:
         c = self.eval_function(cycle.correction)
         return tuple(xi + omega * ci for xi, ci in zip(x, c))
 
-    def _five_point_smoother_parts(self, cycle, x):
+    def _star_smoother_parts(self, cycle, x):
         """(stencil_vals, b) when the cycle is a pointwise-diagonal smoother
-        of a scalar constant 5-point 2D operator — the pattern both fast
-        sweep backends (Pallas fusion, shard_map halo pipeline) accept.
-        Returns None otherwise."""
+        of a scalar constant star operator — 5-point in 2D, 7-point in 3D —
+        the pattern the fast sweep backends (Pallas fusion, shard_map halo
+        pipeline) accept.  Returns None otherwise."""
         corr = cycle.correction
         L = corr.operand1.operand
         residual = corr.operand2
@@ -424,9 +481,15 @@ class _Lowering:
         from ..stencils.constant import Stencil as _CS
         if not isinstance(st, _CS):
             return None
-        from ..ops.pallas import rbgs
-        vals = rbgs.five_point_values(st)
-        if vals is None or vals[0] == 0.0 or x[0].ndim != 2:
+        if x[0].ndim == 2:
+            from ..ops.pallas import rbgs
+            vals = rbgs.five_point_values(st)
+        elif x[0].ndim == 3:
+            from ..ops.pallas import rbgs3d
+            vals = rbgs3d.seven_point_values(st)
+        else:
+            return None
+        if vals is None or vals[0] == 0.0:
             return None
         b = self.eval_function(residual.rhs)[0]
         return vals, b
@@ -435,12 +498,13 @@ class _Lowering:
         """Fast smoother sweep backends for the dominant pattern:
         shard_map halo pipeline when a mesh is configured
         (parallel/halo.py), else fused Pallas kernels on TPU
-        (ops/pallas/rbgs.py).  Returns None for the generic path."""
+        (ops/pallas/rbgs.py in 2D, rbgs3d.py in 3D).  Returns None for
+        the generic path."""
         from ..config import config, pallas_enabled
         mesh = config.shard_map_mesh
         if mesh is None and not pallas_enabled():
             return None
-        parts = self._five_point_smoother_parts(cycle, x)
+        parts = self._star_smoother_parts(cycle, x)
         if parts is None:
             return None
         vals, b = parts
@@ -452,15 +516,24 @@ class _Lowering:
             return None
         if mesh is not None:
             from ..parallel import halo
-            if halo.supports(mesh, u0):
+            if u0.ndim == 2 and halo.supports(mesh, u0):
                 return (halo.sweep(mesh, u0, b, om, vals, dinv,
                                    red_black=red_black),)
             return None
-        from ..ops.pallas import rbgs
         from ..config import pallas_interpret
+        interp = pallas_interpret()
+        if u0.ndim == 3:
+            from ..ops.pallas import rbgs3d
+            if not rbgs3d.supports(u0, vals):
+                return None
+            if red_black:
+                return (rbgs3d.fused_rbgs_sweep_3d(u0, b, om, vals, dinv,
+                                                   interpret=interp),)
+            return (rbgs3d.jacobi_sweep_3d(u0, b, om, vals, dinv,
+                                           interpret=interp),)
+        from ..ops.pallas import rbgs
         if not rbgs.supports(u0, vals):
             return None
-        interp = pallas_interpret()
         if red_black:
             return (rbgs.fused_rbgs_sweep(u0, b, om, vals, dinv,
                                           interpret=interp),)
@@ -563,10 +636,7 @@ class _Lowering:
         u_s, rr = ptransfer.presmooth_residual_rowrestrict(
             u, b[0], omegas, plan["vals"], taps[0],
             interpret=pallas_interpret())
-        m = u.shape[1]
-        mc = (m - 1) // 2
-        Mcol = ops._restriction_axis_matrix(list(taps[1]), 1, m, mc)
-        result = ((u_s,), (rr @ jnp.asarray(Mcol, rr.dtype).T,))
+        result = ((u_s,), (_col_restrict(rr, taps[1], u.shape[1]),))
         self._super_results[key] = result
         return result
 
@@ -593,9 +663,7 @@ class _Lowering:
         b = self.eval_function(plan["rhs"])
         omegas = [self.omegas[cgc.global_id]] + \
             [self.omegas[c.global_id] for c in reversed(plan["sweeps"])]
-        Pm = ops._prolongation_axis_matrix(list(taps[1]), 1, m,
-                                           (m - 1) // 2)
-        c_half = e[0] @ jnp.asarray(Pm, u.dtype).T
+        c_half = _col_prolong(e[0], taps[1], m)
         return (ptransfer.prolong_correct_postsmooth(
             u, c_half, b[0], omegas, plan["vals"], taps[0],
             interpret=pallas_interpret()),)
@@ -629,10 +697,7 @@ class _Lowering:
         from ..config import pallas_interpret
         rr = ptransfer.residual_rowrestrict(u, b[0], vals, taps[0],
                                             interpret=pallas_interpret())
-        m = u.shape[1]
-        mc = (m - 1) // 2
-        Mcol = ops._restriction_axis_matrix(list(taps[1]), 1, m, mc)
-        return (rr @ jnp.asarray(Mcol, rr.dtype).T,)
+        return (_col_restrict(rr, taps[1], u.shape[1]),)
 
     def _try_fused_prolong_correct(self, cycle, x, omega):
         """Cycle tail u + omega * Multiplication(Prolongation, e): the
@@ -662,9 +727,7 @@ class _Lowering:
         if e[0].dtype != u.dtype or \
                 e[0].shape != ((n - 1) // 2, (m - 1) // 2):
             return None
-        Pm = ops._prolongation_axis_matrix(list(taps[1]), 1, m,
-                                           (m - 1) // 2)       # (m, mc)
-        c_half = e[0] @ jnp.asarray(Pm, u.dtype).T             # (nc, m)
+        c_half = _col_prolong(e[0], taps[1], m)                # (nc, m)
         from ..config import pallas_interpret
         return (ptransfer.prolong_row_correct(u, c_half, omega, taps[0],
                                               interpret=pallas_interpret()),)

@@ -41,12 +41,40 @@ class Config:
     shard_min_local_size: int = 16
     #: maximum unknowns for dense coarse-grid factorization
     direct_solve_max: int = 4096
+    #: lower radius-1 separable transfers as strided-slice banded ops
+    #: instead of dense per-axis contractions.  None = auto: banded off
+    #: TPU (fewer FLOPs), dense on TPU — measured on v5e the stride-2
+    #: lane relayouts run ~3x slower end-to-end than the MXU contraction
+    #: despite the O(n_coarse) FLOP advantage, and interact badly with
+    #: Pallas-produced operands (checksum divergence on the axon
+    #: backend; correct in isolation and on CPU)
+    banded_transfers: Optional[bool] = None
+    #: lane-axis column-transfer strategy inside the fused 2D pipeline:
+    #: None = auto ("matmul" on TPU, "banded" elsewhere); explicit values:
+    #: "matmul" | "banded" | "conv" | "transpose" (see compiler/lower.py)
+    column_transfers: Optional[str] = None
     #: nonlinear coarsest-grid solver sweeps (reference FAS template: 200)
     nonlinear_cgs_sweeps: int = 200
     nonlinear_cgs_omega: float = 0.8
 
 
 config = Config()
+
+
+def column_transfer_mode() -> str:
+    if config.column_transfers is not None:
+        return config.column_transfers
+    return "banded" if banded_transfers_enabled() else "matmul"
+
+
+def banded_transfers_enabled() -> bool:
+    if config.banded_transfers is not None:
+        return config.banded_transfers
+    import jax
+    try:
+        return jax.devices()[0].platform != "tpu"
+    except Exception:
+        return True
 
 
 def pallas_enabled() -> bool:

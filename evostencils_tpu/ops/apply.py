@@ -319,6 +319,65 @@ def _axis_contract(u, matrices):
     return out
 
 
+def _transfer_dtype(weights, u_dtype):
+    if any(isinstance(w, complex) or np.iscomplexobj(w) for w in weights):
+        return jnp.promote_types(u_dtype, jnp.complex64)
+    return u_dtype
+
+
+def axis_restrict_3tap(u, axis, weights):
+    """Banded 2:1 restriction along one axis, radius-1 three-tap form:
+    ``out[i] = w[0]*u[2i] + w[1]*u[2i+1] + w[2]*u[2i+2]`` (the
+    `_restriction_axis_matrix` convention, fine j = 2i+1+o).
+
+    Equivalent to the dense axis matmul but O(n) work per output instead
+    of O(n_fine): at fine levels the dense contraction is MXU-bound
+    (~2*nc*nf*batch FLOPs) while this form is three strided slices fused
+    into one elementwise pass.
+    """
+    nf = u.shape[axis]
+    nc = (nf - 1) // 2
+    dtype = _transfer_dtype(weights, u.dtype)
+    u = u.astype(dtype)
+    out = None
+    for k, w in enumerate(weights):
+        if w == 0:
+            continue
+        sl = jax.lax.slice_in_dim(u, k, k + 2 * (nc - 1) + 1, stride=2,
+                                  axis=axis)
+        term = jnp.asarray(w, dtype) * sl
+        out = term if out is None else out + term
+    if out is None:
+        shape = list(u.shape)
+        shape[axis] = nc
+        return jnp.zeros(shape, dtype)
+    return out
+
+
+def axis_prolong_3tap(u, axis, weights, n_fine):
+    """Banded 1:2 prolongation along one axis, radius-1 three-tap form
+    (the `_prolongation_axis_matrix` convention, fine j = 2i+1+o):
+    fine odd rows ``2i+1 <- w[1]*u[i]``, fine even rows
+    ``2i <- w[0]*u[i] + w[2]*u[i-1]`` — built by interleaving the even
+    and odd sub-lattices instead of a dense MXU scatter-matmul."""
+    nc = u.shape[axis]
+    assert n_fine == 2 * nc + 1
+    dtype = _transfer_dtype(weights, u.dtype)
+    u = u.astype(dtype)
+    w0, w1, w2 = (jnp.asarray(w, dtype) for w in weights)
+    odd = w1 * u                                       # fine 2i+1, i<nc
+    u_prev = jnp.concatenate(
+        [jnp.zeros_like(jax.lax.slice_in_dim(u, 0, 1, axis=axis)),
+         jax.lax.slice_in_dim(u, 0, nc - 1, axis=axis)], axis=axis)
+    evn = w0 * u + w2 * u_prev                         # fine 2i, i<nc
+    last = w2 * jax.lax.slice_in_dim(u, nc - 1, nc, axis=axis)  # fine 2nc
+    inter = jnp.stack([evn, odd], axis=axis + 1)
+    shape = list(u.shape)
+    shape[axis] = 2 * nc
+    inter = inter.reshape(shape)
+    return jnp.concatenate([inter, last], axis=axis)
+
+
 def restrict(stencil: Stencil, u_fine):
     """Full restriction: weighting stencil followed by injection at odd
     fine nodes (LFA convention: injection_restriction ∘ stencil,
@@ -330,6 +389,12 @@ def restrict(stencil: Stencil, u_fine):
     fac = separable_factors(stencil)
     if fac is not None:
         vectors, radii = fac
+        from ..config import banded_transfers_enabled
+        if banded_transfers_enabled() and all(r == 1 for r in radii):
+            out = u_fine
+            for k, v in enumerate(vectors):
+                out = axis_restrict_3tap(out, k, tuple(v))
+            return out
         mats = [_restriction_axis_matrix(v, r, n, m)
                 for v, r, n, m in zip(vectors, radii, nf, nc)]
         return _axis_contract(u_fine, mats)
@@ -352,6 +417,14 @@ def prolong(stencil: Stencil, u_coarse, fine_shape: Tuple[int, ...]):
         fac = separable_factors(stencil)
         if fac is not None:
             vectors, radii = fac
+            from ..config import banded_transfers_enabled
+            if banded_transfers_enabled() and all(r == 1 for r in radii) \
+                    and all(n == 2 * m + 1
+                            for n, m in zip(fine_shape, nc)):
+                out = u_coarse
+                for k, v in enumerate(vectors):
+                    out = axis_prolong_3tap(out, k, tuple(v), fine_shape[k])
+                return out
             mats = [_prolongation_axis_matrix(v, r, n, m)
                     for v, r, n, m in zip(vectors, radii, fine_shape, nc)]
             return _axis_contract(u_coarse, mats)
