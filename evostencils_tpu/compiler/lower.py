@@ -234,6 +234,8 @@ class LoweredCycle:
     grids: List[Grid]
     operator: object  # the finest-level system operator (for residuals)
     expression: object = None  # the source Cycle IR (profiling/roofline)
+    approximation: object = None  # bound grid-function entities (fused loops)
+    rhs: object = None
 
 
 def _scalar_five_point(A):
@@ -344,6 +346,27 @@ def _plan_super_fusions(root):
         by_smoother[id(sweeps[0])] = plan
         by_mult[id(mult)] = plan
     return by_smoother, by_mult
+
+
+def transfer_three_tap(op):
+    """Per-axis (w[-1], w[0], w[+1]) taps of a scalar separable 2D
+    transfer operator (system wrappers unwrapped), else None."""
+    entries = getattr(op, "entries", None)
+    if entries is not None:
+        if len(entries) != 1:
+            return None
+        op = entries[0][0]
+    st = op.generate_stencil()
+    if not isinstance(st, constant.Stencil):
+        return None
+    fac = ops.separable_factors(st)
+    if fac is None:
+        return None
+    from ..ops.pallas import transfer as ptransfer
+    taps = ptransfer.three_tap(*fac)
+    if taps is None or len(taps) != 2:
+        return None
+    return taps
 
 
 class _Lowering:
@@ -590,24 +613,7 @@ class _Lowering:
     # -- fused transfer-boundary kernels (ops/pallas/transfer.py) ------------
 
     def _transfer_three_tap(self, op):
-        """Per-axis (w[-1], w[0], w[+1]) taps of a scalar separable 2D
-        transfer operator (system wrappers unwrapped), else None."""
-        entries = getattr(op, "entries", None)
-        if entries is not None:
-            if len(entries) != 1:
-                return None
-            op = entries[0][0]
-        st = op.generate_stencil()
-        if not isinstance(st, constant.Stencil):
-            return None
-        fac = ops.separable_factors(st)
-        if fac is None:
-            return None
-        from ..ops.pallas import transfer as ptransfer
-        taps = ptransfer.three_tap(*fac)
-        if taps is None or len(taps) != 2:
-            return None
-        return taps
+        return transfer_three_tap(op)
 
     def _run_super_fusion(self, plan):
         """Execute a planned pre-smooth+residual+restrict super fusion.
@@ -1068,7 +1074,8 @@ def lower_cycle(root: base.Cycle, approximation, rhs) -> LoweredCycle:
             break
 
     return LoweredCycle(step=step, n_omegas=n, default_omegas=default_omegas,
-                        grids=fine_grids, operator=fine_op, expression=root)
+                        grids=fine_grids, operator=fine_op, expression=root,
+                        approximation=approximation, rhs=rhs)
 
 
 def make_cycle_applier(root: base.Cycle, approximation, rhs,
@@ -1093,6 +1100,72 @@ def make_cycle_applier(root: base.Cycle, approximation, rhs,
         return lowering.eval_function(root)
 
     return apply_fn
+
+
+@dataclass
+class FineLegPlan:
+    """Inter-iteration fusion plan for solve loops: the finest level's
+    up-leg (cycle k) and down-leg (cycle k+1) fuse into one Pallas pass
+    (ops/pallas/transfer.upleg_downleg_fused)."""
+    vals: Tuple[float, ...]          # 5-point stencil values
+    p_taps: Tuple                    # (row, col) prolongation taps
+    r_taps: Tuple                    # (row, col) restriction taps
+    om_pre_ids: List[int]            # pre-smooth omega indices, app. order
+    om_post_ids: List[int]           # post-smooth omega indices, app. order
+    om_cgc_id: int                   # coarse-grid-correction omega index
+    mult_node: object                # Multiplication(R, Residual), finest
+    e_expr: object                   # coarse solution expression
+
+
+def extract_fine_leg_plan(root) -> Optional[FineLegPlan]:
+    """Match the canonical fused-V structure at the finest level:
+    post-smooth chain over a CGC cycle whose coarse rhs is a pre-smooth
+    chain's restricted residual.  Returns None for any other shape (the
+    fused solve loop then falls back to plain step iteration)."""
+    post_plans = _plan_post_fusions(root)
+    plan_post = post_plans.get(id(root))
+    if plan_post is None:
+        return None
+    cgc = plan_post["cgc"]
+    corr = cgc.correction
+    P = corr.operand1
+    e_expr = corr.operand2
+    super_by_smoother, _ = _plan_super_fusions(root)
+    plan_super = super_by_smoother.get(id(cgc.approximation))
+    if plan_super is None:
+        return None
+    if plan_super["vals"] != plan_post["vals"]:
+        return None
+    # the pre-chain must start from the cycle's bound approximation (so the
+    # steady-state kernel can feed the previous iteration's output directly)
+    base_expr = plan_super["base"]
+    if not isinstance(base_expr, (system.Approximation, base.Approximation)) \
+            or isinstance(base_expr, (system.ZeroApproximation,
+                                      base.ZeroApproximation)):
+        return None
+    p_taps = transfer_three_tap(P)
+    r_taps = transfer_three_tap(plan_super["restriction"])
+    if p_taps is None or r_taps is None:
+        return None
+    return FineLegPlan(
+        vals=plan_post["vals"], p_taps=p_taps, r_taps=r_taps,
+        om_pre_ids=[c.global_id for c in reversed(plan_super["sweeps"])],
+        om_post_ids=[c.global_id for c in reversed(plan_post["sweeps"])],
+        om_cgc_id=cgc.global_id,
+        mult_node=plan_super["mult"], e_expr=e_expr)
+
+
+def make_coarse_tail(lowered: LoweredCycle, plan: FineLegPlan) -> Callable:
+    """``tail(rc, u_fields, b_fields, omegas) -> e`` evaluates the coarse
+    part of the cycle given the restricted fine residual ``rc`` (the value
+    of the plan's Multiplication(R, Residual) node)."""
+    def tail(rc, u_fields, b_fields, omegas):
+        lowering = _Lowering(lowered.approximation, lowered.rhs, omegas,
+                             root=lowered.expression)
+        lowering.bind(u_fields, b_fields)
+        lowering.env[id(plan.mult_node)] = (rc,)
+        return lowering.eval_function(plan.e_expr)[0]
+    return tail
 
 
 def operator_applier(op) -> Callable:

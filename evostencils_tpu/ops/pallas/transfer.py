@@ -444,6 +444,150 @@ def prolong_correct_postsmooth(u, c_half, b, omegas, stencil_vals, row_taps,
     return out[:n]
 
 
+# ---------------------------------------------------------------------------
+# inter-iteration super-kernel: up-leg of cycle k fused with the down-leg
+# of cycle k+1 (prolong + correct + post-smooth + pre-smooth + residual +
+# row restriction) — u and b are streamed ONCE for both legs.  Used by the
+# fused solve loop (compiler/solve.make_cycle_loop); the reference's
+# generated solver makes two full memory sweeps for the same sequence.
+# ---------------------------------------------------------------------------
+
+def _vleg_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref, b_curr_ref,
+                 b_next_ref, c_prev_ref, c_curr_ref, c_next_ref, omega_ref,
+                 us_ref, rr_ref, *, c_center, c_w, c_e, c_n, c_s, dinv,
+                 pm1, p0, pp1, wm1, w0, wp1, block_rows_f, n_rows, nc_rows,
+                 n_sweeps):
+    """Window = fine block + 16-row halos (W = R+32).  Corruption depth:
+    1 (row interpolation) + 2*n_sweeps (half-sweeps) + 1 (residual)
+    <= 16 for n_sweeps <= 6, so the written block and the one extra
+    residual row the restriction samples stay exact."""
+    i = pl.program_id(0)
+    R = block_rows_f
+    m = u_curr_ref.shape[1]
+    W = R + 32
+    f0 = i * R
+    Rc = R // 2
+    i0 = i * Rc
+
+    u = jnp.concatenate([u_prev_ref[:], u_curr_ref[:], u_next_ref[:]],
+                        axis=0)                                  # (W, m)
+    b = jnp.concatenate([b_prev_ref[:], b_curr_ref[:], b_next_ref[:]],
+                        axis=0)
+    gid = jax.lax.broadcasted_iota(jnp.int32, (W, m), 0) + f0 - 16
+    col = jax.lax.broadcasted_iota(jnp.int32, (W, m), 1)
+    valid = (gid >= 0) & (gid < n_rows)
+    u = jnp.where(valid, u, 0.0)
+
+    # coarse window rows i0-8 .. i0+Rc+7 -> fine rows f0-16 .. f0+R+15
+    Rcw = Rc + 16
+    c = jnp.concatenate([c_prev_ref[:], c_curr_ref[:], c_next_ref[:]],
+                        axis=0)                                  # (Rcw, m)
+    cgid = jax.lax.broadcasted_iota(jnp.int32, (Rcw, m), 0) + i0 - 8
+    c = jnp.where((cgid >= 0) & (cgid < nc_rows), c, 0.0)
+    zc1 = jnp.zeros((1, m), c.dtype)
+    c_shift = jnp.concatenate([zc1, c[:-1, :]], axis=0)
+    evn = pp1 * c_shift + pm1 * c
+    odd = p0 * c
+    corr = jnp.stack([evn, odd], axis=1).reshape(2 * Rcw, m)     # (W, m)
+    omega0 = omega_ref[0, 0]
+    u = u + omega0 * jnp.where(valid, corr, 0.0)
+
+    zr = jnp.zeros((1, m), u.dtype)
+    zc = jnp.zeros((W, 1), u.dtype)
+    checker = ((gid + col) % 2) == 0
+    masks = (checker & valid, (~checker) & valid)
+    dw, de, dn_, ds = (c_w * dinv, c_e * dinv, c_n * dinv, c_s * dinv)
+    bd = dinv * b
+    for k in range(n_sweeps):
+        omega = omega_ref[0, k + 1]
+        for parity in (0, 1):
+            up = jnp.concatenate([zr, u[:-1, :]], axis=0)
+            dn = jnp.concatenate([u[1:, :], zr], axis=0)
+            left = jnp.concatenate([zc, u[:, :-1]], axis=1)
+            right = jnp.concatenate([u[:, 1:], zc], axis=1)
+            upd = omega * (bd - u - (dw * up + de * dn
+                                     + dn_ * left + ds * right))
+            u = u + jnp.where(masks[parity], upd, 0.0)
+
+    up = jnp.concatenate([zr, u[:-1, :]], axis=0)
+    dn = jnp.concatenate([u[1:, :], zr], axis=0)
+    left = jnp.concatenate([zc, u[:, :-1]], axis=1)
+    right = jnp.concatenate([u[:, 1:], zc], axis=1)
+    au = (c_center * u + c_w * up + c_e * dn + c_n * left + c_s * right)
+    r = jnp.where(valid, b - au, 0.0)
+
+    us_ref[:] = u[16:16 + R]
+    body = r[16:16 + R].reshape(Rc, 2, m)
+    ev = body[:, 0, :]
+    od = body[:, 1, :]
+    ev_next = jnp.concatenate([ev[1:], r[16 + R:17 + R]], axis=0)
+    rr_ref[:] = wm1 * ev + w0 * od + wp1 * ev_next
+
+
+def upleg_downleg_fused(u, c_half, b, omegas, stencil_vals, p_taps, r_taps,
+                        interpret=False, block_rows=None):
+    """(u_next, rr): apply ``u += omegas[0] * P_row(c_half)``, then all the
+    remaining ``omegas`` as damped red-black Gauss-Seidel sweeps (the
+    post-smooth sweeps of cycle k followed by the pre-smooth sweeps of
+    cycle k+1), then the row-restricted residual — one HBM pass over
+    u/b/c_half for what is otherwise two full fine-level leg kernels."""
+    n, m = u.shape
+    nc = (n - 1) // 2
+    S = len(omegas) - 1
+    assert 1 <= S <= 6
+    R = block_rows or _ROW_BLOCK_FINE
+    assert R % 16 == 0
+    Rc = R // 2
+    c_center, c_w, c_e, c_n, c_s = stencil_vals
+    kernel = functools.partial(
+        _vleg_kernel, c_center=c_center, c_w=c_w, c_e=c_e, c_n=c_n, c_s=c_s,
+        dinv=1.0 / c_center, pm1=p_taps[0], p0=p_taps[1], pp1=p_taps[2],
+        wm1=r_taps[0], w0=r_taps[1], wp1=r_taps[2], block_rows_f=R,
+        n_rows=n, nc_rows=nc, n_sweeps=S)
+
+    H = 16
+    Hc = 8
+    nH = pl.cdiv(n, H)
+    nHc = pl.cdiv(nc, Hc)
+    cblk_max = pl.cdiv(nc, Rc) - 1
+    nblk = pl.cdiv(n, R)
+    grid = (nblk,)
+    spec_prev = pl.BlockSpec(
+        (H, m), lambda i: (jnp.maximum((i * R) // H - 1, 0), 0),
+        memory_space=pltpu.VMEM)
+    spec_main = pl.BlockSpec((R, m), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    spec_next = pl.BlockSpec(
+        (H, m), lambda i: (jnp.minimum((i * R + R) // H, nH - 1), 0),
+        memory_space=pltpu.VMEM)
+    spec_cprev = pl.BlockSpec(
+        (Hc, m), lambda i: (jnp.clip((i * Rc) // Hc - 1, 0, nHc - 1), 0),
+        memory_space=pltpu.VMEM)
+    spec_cmain = pl.BlockSpec(
+        (Rc, m), lambda i: (jnp.minimum(i, cblk_max), 0),
+        memory_space=pltpu.VMEM)
+    spec_cnext = pl.BlockSpec(
+        (Hc, m), lambda i: (jnp.minimum((i * Rc + Rc) // Hc, nHc - 1), 0),
+        memory_space=pltpu.VMEM)
+    om = jnp.stack([jnp.asarray(o, u.dtype) for o in omegas]).reshape(1, S + 1)
+    u_s, rr = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_prev, spec_main, spec_next,
+                  spec_prev, spec_main, spec_next,
+                  spec_cprev, spec_cmain, spec_cnext,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec((R, m), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((Rc, m), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((nblk * R, m), u.dtype),
+                   jax.ShapeDtypeStruct((nblk * Rc, m), u.dtype)],
+        interpret=interpret,
+    )(u, u, u, b, b, b, c_half, c_half, c_half, om)
+    return u_s[:n], rr[:nc]
+
+
 def supports(u, stencil_vals=None) -> bool:
     """Shape/dtype gate shared by the transfer kernels (scalar 2D
     f32/bf16 grids spanning at least two row blocks)."""
