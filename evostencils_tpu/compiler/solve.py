@@ -87,11 +87,11 @@ def make_cycle_loop(lowered: LoweredCycle, n_cycles: int):
     ``n_cycles`` applications of ``lowered.step`` up to float
     reassociation; any unsupported structure falls back to that form.
     """
-    from ..config import pallas_enabled, pallas_interpret
+    from ..config import config, pallas_enabled, pallas_interpret
     from ..ops.pallas import transfer as ptransfer
 
-    plan = extract_fine_leg_plan(lowered.expression) if pallas_enabled() \
-        else None
+    plan = extract_fine_leg_plan(lowered.expression) \
+        if config.loop_fusion and pallas_enabled() else None
     tail = make_coarse_tail(lowered, plan) if plan is not None else None
 
     def run_generic(u_fields, b_fields, omegas):

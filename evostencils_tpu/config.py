@@ -53,6 +53,13 @@ class Config:
     #: None = auto ("matmul" on TPU, "banded" elsewhere); explicit values:
     #: "matmul" | "banded" | "conv" | "transpose" (see compiler/lower.py)
     column_transfers: Optional[str] = None
+    #: fuse the finest-level up-leg of cycle k with the down-leg of cycle
+    #: k+1 inside solve loops (compiler/solve.make_cycle_loop).  Saves a
+    #: full read-u/read-b/write-u round trip per iteration but raises
+    #: in-kernel VMEM pressure; measured net-slower on v5e (2.04 vs
+    #: 1.82 ms/cycle at 4095^2), so off by default — flip on where the
+    #: HBM:VPU balance differs
+    loop_fusion: bool = False
     #: nonlinear coarsest-grid solver sweeps (reference FAS template: 200)
     nonlinear_cgs_sweeps: int = 200
     nonlinear_cgs_omega: float = 0.8

@@ -35,6 +35,7 @@ def test_fused_loop_matches_step_iteration(K):
     old = cfgmod.config.use_pallas_kernels
     try:
         cfgmod.config.use_pallas_kernels = True
+        cfgmod.config.loop_fusion = True
         low, u0, b, om = _build(poisson_2d, max_level=9, min_level=5)
         assert extract_fine_leg_plan(low.expression) is not None
         u_ref = u0
@@ -43,6 +44,7 @@ def test_fused_loop_matches_step_iteration(K):
         u_fused = make_cycle_loop(low, K)(u0, b, om)
     finally:
         cfgmod.config.use_pallas_kernels = old
+        cfgmod.config.loop_fusion = False
     scale = float(np.max(np.abs(np.asarray(u_ref[0]))))
     np.testing.assert_allclose(np.asarray(u_fused[0]),
                                np.asarray(u_ref[0]),
@@ -55,10 +57,12 @@ def test_fused_loop_converges():
     old = cfgmod.config.use_pallas_kernels
     try:
         cfgmod.config.use_pallas_kernels = True
+        cfgmod.config.loop_fusion = True
         low, u0, b, om = _build(poisson_2d, max_level=9, min_level=5)
         u = make_cycle_loop(low, 8)(u0, b, om)
     finally:
         cfgmod.config.use_pallas_kernels = old
+        cfgmod.config.loop_fusion = False
     rn = residual_norm_fn(low.operator)
     r0 = float(rn(u0, b))
     r8 = float(rn(u, b))
@@ -71,6 +75,7 @@ def test_fused_loop_fallback_unsupported_structure():
     old = cfgmod.config.use_pallas_kernels
     try:
         cfgmod.config.use_pallas_kernels = True
+        cfgmod.config.loop_fusion = True
         low, u0, b, om = _build(poisson_3d, max_level=4, min_level=2)
         u_ref = u0
         for _ in range(2):
@@ -78,5 +83,6 @@ def test_fused_loop_fallback_unsupported_structure():
         u_loop = make_cycle_loop(low, 2)(u0, b, om)
     finally:
         cfgmod.config.use_pallas_kernels = old
+        cfgmod.config.loop_fusion = False
     np.testing.assert_allclose(np.asarray(u_loop[0]), np.asarray(u_ref[0]),
                                rtol=0, atol=1e-6)
