@@ -30,12 +30,18 @@ from jax.experimental.pallas import tpu as pltpu
 SEVEN_OFFSETS = [(0, 0, 0), (-1, 0, 0), (1, 0, 0),
                  (0, -1, 0), (0, 1, 0), (0, 0, -1), (0, 0, 1)]
 
-# target VMEM footprint per streamed window (bytes); the fused kernel
-# holds ~4 live (W, n1, n2) intermediates plus double-buffered blocks
-_WINDOW_BUDGET = 3 * 2 ** 20
-# beyond this plane size the window degenerates (B0 < 4) — use the
-# generic XLA path instead
-_MAX_PLANE_BYTES = 512 * 2 ** 10
+# scoped-VMEM budget model (measured on v5e, 16 MB scoped limit): the
+# kernel holds ~8 live (W, n1, n2) windows plus double-buffered u/b/out
+# blocks, i.e. plane_bytes * (8*(B0+4) + 6*B0) must stay under ~15 MB
+_VMEM_BUDGET = 15 * 2 ** 20
+_LIVE_WINDOWS = 8
+_BLOCK_COPIES = 6
+
+
+def _max_block_planes(plane_bytes: int) -> int:
+    b = (_VMEM_BUDGET // max(plane_bytes, 1) - 4 * _LIVE_WINDOWS) \
+        // (_LIVE_WINDOWS + _BLOCK_COPIES)
+    return b - (b % 2)
 
 
 def seven_point_values(stencil) -> Optional[Tuple[float, ...]]:
@@ -50,20 +56,23 @@ def seven_point_values(stencil) -> Optional[Tuple[float, ...]]:
 
 
 def supports(u, stencil_vals) -> bool:
-    plane_bytes = u.shape[1] * u.shape[2] * u.dtype.itemsize \
-        if u.ndim == 3 else 0
+    if u.ndim != 3:
+        return False
+    # Mosaic pads planes to (8, 128) tiles — budget on the PADDED size
+    n1p = -(-u.shape[1] // 8) * 8
+    n2p = -(-u.shape[2] // 128) * 128
+    plane_bytes = n1p * n2p * u.dtype.itemsize
     # lanes pad to 128; allow 63-wide grids (2^6-1) — the padding waste
     # still beats the generic path's extra full-grid passes
-    return (u.ndim == 3 and u.dtype in (jnp.float32, jnp.bfloat16)
+    return (u.dtype in (jnp.float32, jnp.bfloat16)
             and stencil_vals is not None
             and u.shape[0] >= 4 and u.shape[1] >= 8 and u.shape[2] >= 63
-            and plane_bytes <= _MAX_PLANE_BYTES)
+            and _max_block_planes(plane_bytes) >= 4)
 
 
 def _pick_block_planes(n0: int, plane_bytes: int) -> int:
-    """Even plane-block size keeping the fused window inside budget."""
-    b = max(2, _WINDOW_BUDGET // max(plane_bytes, 1) - 4)
-    b -= b % 2
+    """Even plane-block size keeping the kernel inside scoped VMEM."""
+    b = max(2, _max_block_planes(plane_bytes))
     if b >= n0:
         return n0 + (n0 % 2)   # single block (padded to even)
     return min(b, 32)
@@ -136,7 +145,7 @@ def _sweep_call_3d(u, b, omegas, stencil_vals, dinv, parity_of,
     # the 2-plane halo covers exactly one fused red+black pass
     assert len(omegas) == 1
     n0, n1, n2 = u.shape
-    plane_bytes = n1 * n2 * u.dtype.itemsize
+    plane_bytes = (-(-n1 // 8) * 8) * (-(-n2 // 128) * 128) * u.dtype.itemsize
     B0 = _pick_block_planes(n0, plane_bytes)
     nblk = pl.cdiv(n0, B0)
     n2blk = pl.cdiv(n0, 2)
