@@ -92,17 +92,8 @@ class CycleEvaluator:
         batched_solver = jax.jit(jax.vmap(
             lambda om: solver(self._u0, self._b, om)[1:]))
 
-        K = self.throughput_cycles
-
-        def k_cycles(u, b_fields, om):
-            def body(u, _):
-                return lowered.step(u, b_fields, om), None
-            u, _ = jax.lax.scan(body, u, None, length=K)
-            return sum(jnp.sum(jnp.abs(x)) for x in u)
-
-        throughput = jax.jit(k_cycles)
         entry = {"lowered": lowered, "solver": solver,
-                 "batched_solver": batched_solver, "throughput": throughput,
+                 "batched_solver": batched_solver,
                  "cycle_time_ms": None}
         self._solver_cache[key] = entry
         self.compilations += 1
@@ -130,35 +121,29 @@ class CycleEvaluator:
         return jax.jit(solver)
 
     def _measure_cycle_time(self, entry) -> float:
-        """Per-iteration wall time of this structure (outer-solver problems
-        measure the full Krylov iteration incl. preconditioner)."""
+        """Per-iteration wall time of this structure, measured by re-running
+        the already-compiled solver (the full converging solve — same
+        protocol as the reference, which times the generated binary's whole
+        run; exastencils.py:417-443).  No extra compilation: one XLA
+        program per structure is the evolution-loop latency budget."""
         if entry["cycle_time_ms"] is not None:
             return entry["cycle_time_ms"]
         lowered = entry["lowered"]
         om = jnp.asarray(lowered.default_omegas, dtype=jnp.float32
                          if self.dtype == np.float32 else None)
-        if getattr(self.problem, "outer_solver", None) is not None:
-            run = entry["solver"]
-            out = run(self._u0, self._b, om)
-            jax.block_until_ready(jax.device_get(out[1]))
-            times = []
-            iters = 1
-            for _ in range(2):
-                t0 = time.perf_counter()
-                out = run(self._u0, self._b, om)
-                iters = int(jax.device_get(out[1]))
-                times.append(time.perf_counter() - t0)
-            entry["cycle_time_ms"] = min(times) * 1e3 / max(iters, 1)
-            return entry["cycle_time_ms"]
-        run = entry["throughput"]
-        float(run(self._u0, self._b, om))  # compile + warm
+        run = entry["solver"]
+        out = run(self._u0, self._b, om)
+        jax.block_until_ready(jax.device_get(out[1]))   # compile + warm
         times = []
-        for _ in range(3):
+        iters = 1
+        for _ in range(2):
             t0 = time.perf_counter()
-            float(run(self._u0, self._b, om))
+            out = run(self._u0, self._b, om)
+            iters = int(jax.device_get(out[1]))
             times.append(time.perf_counter() - t0)
-        entry["cycle_time_ms"] = min(times) * 1e3 / self.throughput_cycles
+        entry["cycle_time_ms"] = min(times) * 1e3 / max(iters, 1)
         return entry["cycle_time_ms"]
+
 
     # -- single evaluation ---------------------------------------------------
 
@@ -234,11 +219,21 @@ class CycleEvaluator:
                 np.array([float(c.relaxation_factor) for c in
                           transformations.find_nodes(expressions[i], base.Cycle)])
                 for i in members])
+            # pad the batch to a power-of-two bucket: group sizes vary per
+            # generation and every distinct batch shape is a fresh XLA
+            # compilation — bucketing bounds compiles per structure at
+            # log2(mu) while wasting only the padded lanes' device time
+            B = len(members)
+            bucket = 1 << (B - 1).bit_length()
+            if bucket > B:
+                omega_batch = np.concatenate(
+                    [omega_batch,
+                     np.repeat(omega_batch[:1], bucket - B, axis=0)])
             try:
                 iters_b, hist_b = entry["batched_solver"](
                     jnp.asarray(omega_batch))
-                iters_b = np.asarray(jax.device_get(iters_b))
-                hist_b = np.asarray(jax.device_get(hist_b))
+                iters_b = np.asarray(jax.device_get(iters_b))[:B]
+                hist_b = np.asarray(jax.device_get(hist_b))[:B]
             except Exception:
                 for i in members:
                     results[i] = EvaluationResult(self.infinity, self.infinity,
