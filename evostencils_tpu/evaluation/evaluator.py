@@ -185,6 +185,43 @@ class CycleEvaluator:
 
     # -- batched population evaluation ---------------------------------------
 
+    #: threads used to overlap per-structure XLA compilations (the
+    #: evolution loop's latency budget is compile-bound; compilation
+    #: happens outside the GIL / in the compile service, so a small pool
+    #:  overlaps well).  Set to 1 to force serial compilation.
+    compile_workers: int = 4
+
+    def _precompile_groups(self, groups, expressions, omega_batches):
+        """Warm the jit caches of all new structures concurrently via the
+        AOT API (lower -> compile).  Failures are swallowed — the caller's
+        per-group execution reports them as infinity fitness."""
+        import concurrent.futures as cf
+        keys = [k for k in groups if k not in self._solver_cache]
+        if len(keys) < 2 or self.compile_workers <= 1:
+            return
+        entries = {}
+        for key in keys:
+            try:
+                entries[key] = self._get_compiled(
+                    key, expressions[groups[key][0]])
+            except Exception:
+                pass
+
+        def compile_one(key):
+            # AOT lower+compile for the side effect of populating the
+            # persistent XLA compile cache; the serial jit call that
+            # follows deserializes from it instead of recompiling
+            entries[key]["batched_solver"] \
+                .lower(omega_batches[key]).compile()
+
+        with cf.ThreadPoolExecutor(self.compile_workers) as pool:
+            futures = {pool.submit(compile_one, k): k for k in entries}
+            for f in cf.as_completed(futures):
+                try:
+                    f.result()
+                except Exception:
+                    pass   # fall back to the lazy jit path at call time
+
     def evaluate_population(self, individuals: List, pset) -> List[EvaluationResult]:
         """Group by structure, one vmapped batched solve per group."""
         groups: Dict[str, List[int]] = {}
@@ -205,6 +242,27 @@ class CycleEvaluator:
                     RuntimeError, KeyError):
                 results[i] = EvaluationResult(self.infinity, self.infinity,
                                               self.infinity)
+        # pad each group's batch to a power-of-two bucket: group sizes
+        # vary per generation and every distinct batch shape is a fresh
+        # XLA compilation — bucketing bounds compiles per structure at
+        # log2(mu) while wasting only the padded lanes' device time
+        omega_batches: Dict[str, jnp.ndarray] = {}
+        for key, members in groups.items():
+            omega_batch = np.stack([
+                np.array([float(c.relaxation_factor) for c in
+                          transformations.find_nodes(expressions[i], base.Cycle)])
+                for i in members])
+            B = len(members)
+            bucket = 1 << (B - 1).bit_length()
+            if bucket > B:
+                omega_batch = np.concatenate(
+                    [omega_batch,
+                     np.repeat(omega_batch[:1], bucket - B, axis=0)])
+            omega_batches[key] = jnp.asarray(omega_batch)
+        try:
+            self._precompile_groups(groups, expressions, omega_batches)
+        except Exception:
+            pass
         for key, members in groups.items():
             try:
                 entry = self._get_compiled(key, expressions[members[0]])
@@ -214,24 +272,10 @@ class CycleEvaluator:
                     results[i] = EvaluationResult(self.infinity, self.infinity,
                                                   self.infinity)
                 continue
-            lowered = entry["lowered"]
-            omega_batch = np.stack([
-                np.array([float(c.relaxation_factor) for c in
-                          transformations.find_nodes(expressions[i], base.Cycle)])
-                for i in members])
-            # pad the batch to a power-of-two bucket: group sizes vary per
-            # generation and every distinct batch shape is a fresh XLA
-            # compilation — bucketing bounds compiles per structure at
-            # log2(mu) while wasting only the padded lanes' device time
             B = len(members)
-            bucket = 1 << (B - 1).bit_length()
-            if bucket > B:
-                omega_batch = np.concatenate(
-                    [omega_batch,
-                     np.repeat(omega_batch[:1], bucket - B, axis=0)])
+            omega_batch = omega_batches[key]
             try:
-                iters_b, hist_b = entry["batched_solver"](
-                    jnp.asarray(omega_batch))
+                iters_b, hist_b = entry["batched_solver"](omega_batch)
                 iters_b = np.asarray(jax.device_get(iters_b))[:B]
                 hist_b = np.asarray(jax.device_get(hist_b))[:B]
             except Exception:

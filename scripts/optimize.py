@@ -87,6 +87,15 @@ def main():
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if on_tpu and not args.f32:
+        # TPU-native default: f32 measurement window (f64 is emulated and
+        # orders of magnitude slower on TPU); the evaluator extrapolates
+        # iteration counts to the 1e-12 target from the f32 window
+        args.f32 = True
     if not args.f32:
         jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir",
