@@ -517,19 +517,71 @@ class _Lowering:
         b = self.eval_function(residual.rhs)[0]
         return vals, b
 
+    def _var_smoother_parts(self, cycle, x):
+        """(coefficient stack, b) when the cycle is a pointwise-diagonal
+        smoother of a scalar variable-coefficient 5-point operator
+        (StencilField form) — the pattern the fused variable-coefficient
+        Pallas kernels accept (ops/pallas/rbgs_var.py).  None otherwise."""
+        corr = cycle.correction
+        L = corr.operand1.operand
+        residual = corr.operand2
+        if residual.approximation is not cycle.approximation:
+            return None
+        if not isinstance(L, (system.Diagonal, system.ElementwiseDiagonal,
+                              base.Diagonal)):
+            return None
+        A = residual.operator
+        entry = A
+        if isinstance(A, system.Operator):
+            if len(A.entries) != 1:
+                return None
+            entry = A.entries[0][0]
+        if not isinstance(entry, base.Operator) or \
+                _nonlinear_of(entry) is not None:
+            return None
+        sf = _stencil_field_of(entry)
+        if sf is None or x[0].ndim != 2:
+            return None
+        from ..ops.pallas import rbgs_var
+        key = ("var_stack", id(sf), str(x[0].dtype))
+        stack = self.memo.get(key)
+        if key not in self.memo:
+            stack = rbgs_var.five_point_stack(sf, x[0].dtype)
+            self.memo[key] = stack
+        if stack is None:
+            return None
+        b = self.eval_function(residual.rhs)[0]
+        return stack, b
+
     def _try_fused_smoother(self, cycle, x, omega):
         """Fast smoother sweep backends for the dominant pattern:
         shard_map halo pipeline when a mesh is configured
         (parallel/halo.py), else fused Pallas kernels on TPU
-        (ops/pallas/rbgs.py in 2D, rbgs3d.py in 3D).  Returns None for
-        the generic path."""
+        (ops/pallas/rbgs.py in 2D, rbgs3d.py in 3D, rbgs_var.py for
+        variable coefficients).  Returns None for the generic path."""
         from ..config import config, pallas_enabled
         mesh = config.shard_map_mesh
         if mesh is None and not pallas_enabled():
             return None
         parts = self._star_smoother_parts(cycle, x)
         if parts is None:
-            return None
+            if mesh is not None:
+                return None
+            red_black = cycle.partitioning is part.RedBlack
+            if not red_black and cycle.partitioning is not part.Single:
+                return None
+            vparts = self._var_smoother_parts(cycle, x)
+            if vparts is None:
+                return None
+            stack, b = vparts
+            from ..ops.pallas import rbgs_var
+            from ..config import pallas_interpret
+            if not rbgs_var.supports(x[0], stack):
+                return None
+            om = jnp.asarray(omega, x[0].dtype)
+            sweep = (rbgs_var.fused_rbgs_sweep_var if red_black
+                     else rbgs_var.jacobi_sweep_var)
+            return (sweep(x[0], b, om, stack, interpret=pallas_interpret()),)
         vals, b = parts
         u0 = x[0]
         dinv = 1.0 / vals[0]

@@ -178,9 +178,14 @@ class StencilField:
     def apply(self, u, bc: str = "dirichlet"):
         radius = tuple(max(abs(o[k]) for o in self.offsets)
                        for k in range(u.ndim))
+        # same rule as result_dtype(): the grid dtype governs precision
+        # (coefficients cast down to it); complex coefficients widen kind
+        # only.  Promoting to the coefficients' storage precision would
+        # leak f64 into f32 solves under x64 and break scan/while carries.
         dtype = u.dtype
         for f in self.fields:
-            dtype = jnp.promote_types(dtype, jnp.asarray(f).dtype)
+            if np.iscomplexobj(np.asarray(f)):
+                dtype = jnp.promote_types(dtype, jnp.complex64)
         u = u.astype(dtype)
         if bc != "dirichlet":
             raise NotImplementedError("StencilField supports dirichlet bc only")
