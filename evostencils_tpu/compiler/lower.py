@@ -476,11 +476,12 @@ class _Lowering:
         c = self.eval_function(cycle.correction)
         return tuple(xi + omega * ci for xi, ci in zip(x, c))
 
-    def _star_smoother_parts(self, cycle, x):
-        """(stencil_vals, b) when the cycle is a pointwise-diagonal smoother
-        of a scalar constant star operator — 5-point in 2D, 7-point in 3D —
-        the pattern the fast sweep backends (Pallas fusion, shard_map halo
-        pipeline) accept.  Returns None otherwise."""
+    @staticmethod
+    def _pointwise_smoother_entry(cycle):
+        """(scalar operator entry, residual) when the cycle is a
+        pointwise-diagonal smoother u + w*D^-1*(b - A u) of a scalar
+        (1x1-system) operator — the shared preamble of every fast sweep
+        backend.  None otherwise."""
         corr = cycle.correction
         L = corr.operand1.operand
         residual = corr.operand2
@@ -497,6 +498,17 @@ class _Lowering:
             entry = A.entries[0][0]
         if not isinstance(entry, base.Operator):
             return None
+        return entry, residual
+
+    def _star_smoother_parts(self, cycle, x):
+        """(stencil_vals, b) when the cycle is a pointwise-diagonal smoother
+        of a scalar constant star operator — 5-point in 2D, 7-point in 3D —
+        the pattern the fast sweep backends (Pallas fusion, shard_map halo
+        pipeline) accept.  Returns None otherwise."""
+        found = self._pointwise_smoother_entry(cycle)
+        if found is None:
+            return None
+        entry, residual = found
         if _nonlinear_of(entry) is not None or \
                 _stencil_field_of(entry) is not None:
             return None
@@ -522,22 +534,11 @@ class _Lowering:
         smoother of a scalar variable-coefficient 5-point operator
         (StencilField form) — the pattern the fused variable-coefficient
         Pallas kernels accept (ops/pallas/rbgs_var.py).  None otherwise."""
-        corr = cycle.correction
-        L = corr.operand1.operand
-        residual = corr.operand2
-        if residual.approximation is not cycle.approximation:
+        found = self._pointwise_smoother_entry(cycle)
+        if found is None:
             return None
-        if not isinstance(L, (system.Diagonal, system.ElementwiseDiagonal,
-                              base.Diagonal)):
-            return None
-        A = residual.operator
-        entry = A
-        if isinstance(A, system.Operator):
-            if len(A.entries) != 1:
-                return None
-            entry = A.entries[0][0]
-        if not isinstance(entry, base.Operator) or \
-                _nonlinear_of(entry) is not None:
+        entry, residual = found
+        if _nonlinear_of(entry) is not None:
             return None
         sf = _stencil_field_of(entry)
         if sf is None or x[0].ndim != 2:
@@ -552,6 +553,28 @@ class _Lowering:
             return None
         b = self.eval_function(residual.rhs)[0]
         return stack, b
+
+    def _cx_smoother_parts(self, cycle, x):
+        """(complex stencil values, b) when the cycle is a
+        pointwise-diagonal smoother of a scalar constant COMPLEX 5-point
+        operator (Helmholtz shifted-Laplace) — the pattern the fused
+        complex Pallas kernels accept (ops/pallas/rbgs_cx.py)."""
+        found = self._pointwise_smoother_entry(cycle)
+        if found is None:
+            return None
+        entry, residual = found
+        if _nonlinear_of(entry) is not None or x[0].ndim != 2:
+            return None
+        st = entry.generate_stencil()
+        from ..stencils.constant import Stencil as _CS
+        if not isinstance(st, _CS):
+            return None
+        from ..ops.pallas import rbgs_cx
+        vals = rbgs_cx.complex_five_point_values(st)
+        if vals is None or vals[0] == 0:
+            return None
+        b = self.eval_function(residual.rhs)[0]
+        return vals, b
 
     def _try_fused_smoother(self, cycle, x, omega):
         """Fast smoother sweep backends for the dominant pattern:
@@ -570,18 +593,29 @@ class _Lowering:
             red_black = cycle.partitioning is part.RedBlack
             if not red_black and cycle.partitioning is not part.Single:
                 return None
-            vparts = self._var_smoother_parts(cycle, x)
-            if vparts is None:
-                return None
-            stack, b = vparts
-            from ..ops.pallas import rbgs_var
             from ..config import pallas_interpret
-            if not rbgs_var.supports(x[0], stack):
-                return None
-            om = jnp.asarray(omega, x[0].dtype)
-            sweep = (rbgs_var.fused_rbgs_sweep_var if red_black
-                     else rbgs_var.jacobi_sweep_var)
-            return (sweep(x[0], b, om, stack, interpret=pallas_interpret()),)
+            vparts = self._var_smoother_parts(cycle, x)
+            if vparts is not None:
+                stack, b = vparts
+                from ..ops.pallas import rbgs_var
+                if not rbgs_var.supports(x[0], stack):
+                    return None
+                om = jnp.asarray(omega, x[0].dtype)
+                sweep = (rbgs_var.fused_rbgs_sweep_var if red_black
+                         else rbgs_var.jacobi_sweep_var)
+                return (sweep(x[0], b, om, stack,
+                              interpret=pallas_interpret()),)
+            cparts = self._cx_smoother_parts(cycle, x)
+            if cparts is not None:
+                vals, b = cparts
+                from ..ops.pallas import rbgs_cx
+                if not rbgs_cx.supports(x[0], vals):
+                    return None
+                sweep = (rbgs_cx.fused_rbgs_sweep_cx if red_black
+                         else rbgs_cx.jacobi_sweep_cx)
+                return (sweep(x[0], b, omega, vals,
+                              interpret=pallas_interpret()),)
+            return None
         vals, b = parts
         u0 = x[0]
         dinv = 1.0 / vals[0]
