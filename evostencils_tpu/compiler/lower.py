@@ -625,7 +625,7 @@ class _Lowering:
             return None
         if mesh is not None:
             from ..parallel import halo
-            if u0.ndim == 2 and halo.supports(mesh, u0):
+            if halo.supports(mesh, u0):
                 return (halo.sweep(mesh, u0, b, om, vals, dinv,
                                    red_black=red_black),)
             return None

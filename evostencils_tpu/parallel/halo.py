@@ -5,7 +5,8 @@ TPU-native replacement for the reference's domain-decomposed solver tier
 lib/domain_onePatch.knowledge:1-8, FAS_2D_Basic_template.exa4:7-10): the
 grid is block-partitioned over a 2D device mesh and each smoother sweep
 exchanges a one-cell halo with its mesh neighbors via ``lax.ppermute``
-over ICI.
+over ICI.  2D grids shard both axes; 3D grids shard their first two axes
+(four face halos) and keep the last — the TPU vector-lane axis — local.
 
 Overlap structure: the bulk of the stencil contraction only reads the local
 block, so it carries no data dependence on the ppermute results — XLA's
@@ -43,15 +44,17 @@ def _mesh_shape_2d(mesh: Mesh) -> Tuple[int, int]:
 
 
 def supports(mesh: Mesh, u) -> bool:
-    """Sharded sweeps need a 2D real grid with mesh axes named x/y and a
-    large-enough local block (coarse levels run replicated)."""
+    """Sharded sweeps need a 2D/3D real grid with mesh axes named x/y and
+    a large-enough local block (coarse levels run replicated).  3D grids
+    shard their first two axes over the mesh; the last (vector-lane) axis
+    stays local — splitting it would fight the TPU register layout."""
     from ..config import config
-    if u.ndim != 2 or jnp.iscomplexobj(u):
+    if u.ndim not in (2, 3) or jnp.iscomplexobj(u):
         return False
     if not {"x", "y"} <= set(mesh.axis_names):
         return False
     nx, ny = _mesh_shape_2d(mesh)
-    n, m = u.shape
+    n, m = u.shape[:2]
     return (n // nx >= config.shard_min_local_size
             and m // ny >= config.shard_min_local_size)
 
@@ -99,33 +102,91 @@ def _half_sweep(u, b, om, *, vals, dinv, parity, n_global, local_shape,
     return jnp.where(valid, u + update, u)
 
 
+def _half_sweep_3d(u, b, om, *, vals, dinv, parity, n_global, local_shape,
+                   mesh_shape):
+    """One masked damped-Jacobi half-sweep of a 7-point stencil on the
+    local 3D block (inside shard_map).  The first two grid axes shard
+    over mesh axes x/y; the last axis is local, so only four halo faces
+    exchange.  vals order matches ops/pallas/rbgs3d.seven_point_values:
+    (center, -x, +x, -y, +y, -z, +z)."""
+    c0, cxm, cxp, cym, cyp, czm, czp = vals
+    nl, ml, kl = local_shape
+    nx, ny = mesh_shape
+    n, m, k = n_global
+
+    # face halos to/from mesh neighbors (missing neighbor -> zeros ==
+    # homogeneous-Dirichlet ghost layer)
+    xm_halo = lax.ppermute(u[-1:, :, :], "x", [(i, i + 1) for i in range(nx - 1)])
+    xp_halo = lax.ppermute(u[:1, :, :], "x", [(i + 1, i) for i in range(nx - 1)])
+    ym_halo = lax.ppermute(u[:, -1:, :], "y", [(j, j + 1) for j in range(ny - 1)])
+    yp_halo = lax.ppermute(u[:, :1, :], "y", [(j + 1, j) for j in range(ny - 1)])
+
+    # interior contraction (local-only reads; overlaps with the ppermutes)
+    zx = jnp.zeros((1, ml, kl), u.dtype)
+    zy = jnp.zeros((nl, 1, kl), u.dtype)
+    zz = jnp.zeros((nl, ml, 1), u.dtype)
+    au = (c0 * u
+          + cxm * jnp.concatenate([zx, u[:-1]], axis=0)
+          + cxp * jnp.concatenate([u[1:], zx], axis=0)
+          + cym * jnp.concatenate([zy, u[:, :-1]], axis=1)
+          + cyp * jnp.concatenate([u[:, 1:], zy], axis=1)
+          + czm * jnp.concatenate([zz, u[:, :, :-1]], axis=2)
+          + czp * jnp.concatenate([u[:, :, 1:], zz], axis=2))
+
+    # face fix-up (waits on the halos)
+    au = au.at[0, :, :].add(cxm * xm_halo[0])
+    au = au.at[-1, :, :].add(cxp * xp_halo[0])
+    au = au.at[:, 0, :].add(cym * ym_halo[:, 0])
+    au = au.at[:, -1, :].add(cyp * yp_halo[:, 0])
+
+    ix = lax.axis_index("x")
+    iy = lax.axis_index("y")
+    shape = (nl, ml, kl)
+    i_ids = ix * nl + lax.broadcasted_iota(jnp.int32, shape, 0)
+    j_ids = iy * ml + lax.broadcasted_iota(jnp.int32, shape, 1)
+    k_ids = lax.broadcasted_iota(jnp.int32, shape, 2)
+    valid = (i_ids < n) & (j_ids < m)
+    update = om * dinv * (b - au)
+    if parity >= 0:
+        # red = even NODE parity; interior (i,j,k) is node (i+1,j+1,k+1),
+        # so red interior indices have odd index sum (matches rbgs3d.py
+        # and lower.red_black_masks)
+        update = jnp.where(((i_ids + j_ids + k_ids + 1) % 2) == parity,
+                           update, 0.0)
+    return jnp.where(valid, u + update, u)
+
+
 def _padded(u, nx, ny):
-    n, m = u.shape
-    return jnp.pad(u, ((0, -n % nx), (0, -m % ny)))
+    n, m = u.shape[:2]
+    pad = ((0, -n % nx), (0, -m % ny)) + ((0, 0),) * (u.ndim - 2)
+    return jnp.pad(u, pad)
 
 
 def sweep(mesh: Mesh, u, b, om, vals, dinv, *, red_black: bool):
     """Full smoother sweep (red+black halves, or one Jacobi pass) with the
     grid block-sharded over the mesh.  Accepts the unpadded (2^l - 1) grid;
     padding to mesh-divisible shape happens here and the padded ring is
-    masked out inside the sweep."""
+    masked out inside the sweep.  2D grids use the 5-point pipeline, 3D
+    grids the 7-point face-halo pipeline (last axis local)."""
     nx, ny = _mesh_shape_2d(mesh)
     n_global = u.shape
     up, bp = _padded(u, nx, ny), _padded(b, nx, ny)
-    local_shape = (up.shape[0] // nx, up.shape[1] // ny)
+    local_shape = (up.shape[0] // nx, up.shape[1] // ny) + up.shape[2:]
 
+    half = _half_sweep if u.ndim == 2 else _half_sweep_3d
+    spec = P("x", "y") if u.ndim == 2 else P("x", "y", None)
     kernel = functools.partial(
-        _half_sweep, vals=vals, dinv=dinv, n_global=n_global,
+        half, vals=vals, dinv=dinv, n_global=n_global,
         local_shape=local_shape, mesh_shape=(nx, ny))
 
     def run(parity):
         return shard_map(
             functools.partial(kernel, parity=parity), mesh=mesh,
-            in_specs=(P("x", "y"), P("x", "y"), P()), out_specs=P("x", "y"))
+            in_specs=(spec, spec, P()), out_specs=spec)
 
     if red_black:
         up_new = run(0)(up, bp, om)
         up_new = run(1)(up_new, bp, om)
     else:
         up_new = run(-1)(up, bp, om)
-    return up_new[:n_global[0], :n_global[1]]
+    return up_new[tuple(slice(0, s) for s in n_global)]

@@ -107,3 +107,76 @@ def test_small_levels_fall_back_to_replicated(mesh):
     assert not halo.supports(mesh, u)
     n = 2 ** 7 - 1
     assert halo.supports(mesh, jnp.zeros((n, n)))
+
+
+def test_sharded_3d_sweep_matches_reference(mesh):
+    """3D 7-point sweeps shard the first two grid axes over the mesh
+    (last axis local) and must match the single-device masked math."""
+    from evostencils_tpu.problems.poisson import poisson_3d
+    from evostencils_tpu.ops.pallas.rbgs3d import seven_point_values
+
+    problem = poisson_3d(max_level=5, min_level=2)
+    st = problem.level_contexts[0].operator.entries[0][0].generate_stencil()
+    vals = seven_point_values(st)
+    rng = np.random.default_rng(5)
+    n = 2 ** 5 - 1
+    u = jnp.asarray(rng.standard_normal((n, n, n)))
+    b = jnp.asarray(rng.standard_normal((n, n, n)))
+    om = jnp.asarray(1.0, u.dtype)
+    dinv = 1.0 / vals[0]
+    offs = [(0, 0, 0), (-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0),
+            (0, 0, -1), (0, 0, 1)]
+
+    def ref_au(u):
+        up = jnp.pad(u, 1)
+        return sum(v * up[1 + o0:1 + o0 + n, 1 + o1:1 + o1 + n,
+                          1 + o2:1 + o2 + n]
+                   for v, (o0, o1, o2) in zip(vals, offs))
+
+    def ref_half(u, parity):
+        # red = even node parity: interior (i,j,k) is node (i+1,j+1,k+1)
+        ii = jnp.arange(n)
+        mask = ((ii[:, None, None] + ii[None, :, None]
+                 + ii[None, None, :] + 1) % 2) == parity
+        return u + jnp.where(mask, om * dinv * (b - ref_au(u)), 0.0)
+
+    want = ref_half(ref_half(u, 0), 1)
+    got = halo.sweep(mesh, u, b, om, vals, dinv, red_black=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-13, atol=1e-13)
+
+    want_j = u + om * dinv * (b - ref_au(u))
+    got_j = halo.sweep(mesh, u, b, om, vals, dinv, red_black=False)
+    np.testing.assert_allclose(np.asarray(got_j), np.asarray(want_j),
+                               rtol=1e-13, atol=1e-13)
+
+
+def test_3d_vcycle_with_halo_pipeline_matches(mesh):
+    from evostencils_tpu.problems.poisson import poisson_3d
+
+    problem = poisson_3d(max_level=5, min_level=2)
+
+    def build():
+        cycle = v_cycle(problem.level_contexts, problem.rhs_entity,
+                        pre_smoothing=2, post_smoothing=1, omega=1.0,
+                        partitioning=part.RedBlack,
+                        coarse_operator=problem.coarsest_operator)
+        return lower_cycle(cycle, problem.approximation, problem.rhs_entity)
+
+    b = problem.build_rhs()
+    u0 = tuple(jnp.zeros_like(x) for x in b)
+    lowered_ref = build()
+    om = jnp.asarray(lowered_ref.default_omegas)
+    ref = lowered_ref.step(u0, b, om)
+
+    old_min = config.shard_min_local_size
+    config.shard_map_mesh = mesh
+    config.shard_min_local_size = 7  # 31/4 rows local on the 4x2 mesh
+    try:
+        lowered_sh = build()
+        got = lowered_sh.step(u0, b, om)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                                   rtol=1e-12, atol=1e-12)
+    finally:
+        config.shard_map_mesh = None
+        config.shard_min_local_size = old_min
