@@ -576,6 +576,67 @@ class _Lowering:
         b = self.eval_function(residual.rhs)[0]
         return vals, b
 
+    def _sys_smoother_parts(self, cycle, x):
+        """(coeffs, minv, b) when the cycle is a pointwise smoother of an
+        FxF block system whose entries are constant stencils inside the
+        3x3 offset box (linear elasticity) — the pattern the fused system
+        Pallas kernels accept (ops/pallas/rbgs_sys.py).  minv is the
+        constant FxF point-solve matrix: inverse of the center-coefficient
+        matrix (ElementwiseDiagonal) or of its diagonal (Diagonal)."""
+        corr = cycle.correction
+        L = corr.operand1.operand
+        residual = corr.operand2
+        if residual.approximation is not cycle.approximation:
+            return None
+        if not isinstance(L, (system.Diagonal, system.ElementwiseDiagonal)):
+            return None
+        A = residual.operator
+        if not isinstance(A, system.Operator):
+            return None
+        F = len(A.entries)
+        if F < 2 or len(x) != F or any(len(r) != F for r in A.entries):
+            return None
+        if x[0].ndim != 2:
+            return None
+        from ..ops.pallas import rbgs_sys
+        from ..stencils.constant import Stencil as _CS
+        coeffs = []
+        for row in A.entries:
+            crow = []
+            for entry in row:
+                if isinstance(entry, base.ZeroOperator):
+                    crow.append((0.0,) * 9)
+                    continue
+                if not isinstance(entry, base.Operator):
+                    return None
+                if _nonlinear_of(entry) is not None or \
+                        _stencil_field_of(entry) is not None:
+                    return None
+                st = entry.generate_stencil()
+                if not isinstance(st, _CS):
+                    return None
+                c = rbgs_sys.nine_point_coeffs(st)
+                if c is None:
+                    return None
+                crow.append(c)
+            coeffs.append(tuple(crow))
+        centers = np.array([[coeffs[i][j][0] for j in range(F)]
+                            for i in range(F)])
+        if isinstance(L, system.Diagonal):
+            d = np.diag(centers)
+            if np.any(d == 0.0):
+                return None
+            minv = np.diag(1.0 / d)
+        else:
+            if abs(np.linalg.det(centers)) < 1e-30:
+                return None
+            minv = np.linalg.inv(centers)
+        b = self.eval_function(residual.rhs)
+        if len(b) != F:
+            return None
+        return (tuple(coeffs), tuple(tuple(float(v) for v in r)
+                                     for r in minv), b)
+
     def _try_fused_smoother(self, cycle, x, omega):
         """Fast smoother sweep backends for the dominant pattern:
         shard_map halo pipeline when a mesh is configured
@@ -615,6 +676,17 @@ class _Lowering:
                          else rbgs_cx.jacobi_sweep_cx)
                 return (sweep(x[0], b, omega, vals,
                               interpret=pallas_interpret()),)
+            sparts = self._sys_smoother_parts(cycle, x)
+            if sparts is not None:
+                coeffs, minv, b = sparts
+                from ..ops.pallas import rbgs_sys
+                if not rbgs_sys.supports(x, coeffs):
+                    return None
+                om = jnp.asarray(omega, x[0].dtype)
+                sweep = (rbgs_sys.fused_rbgs_sweep_sys if red_black
+                         else rbgs_sys.jacobi_sweep_sys)
+                return sweep(x, b, om, coeffs, minv,
+                             interpret=pallas_interpret())
             return None
         vals, b = parts
         u0 = x[0]
