@@ -54,19 +54,40 @@ def compiled_cost(fn: Callable, *args) -> dict:
     }
 
 
+def sync(out) -> None:
+    """Force device completion of ``out`` (any pytree of arrays).
+
+    ``jax.block_until_ready`` is NOT sufficient on relayed/async backends
+    (the axon TPU tunnel acknowledges enqueue, not completion) — the only
+    reliable barrier is a host transfer, so this fetches one scalar element
+    of the first leaf.  Cost: one RPC round-trip (~25-30 ms on the tunnel),
+    which is why :func:`benchmark` times a whole batch of calls between two
+    sync points instead of syncing per call."""
+    leaves = jax.tree_util.tree_leaves(out)
+    if not leaves:
+        return
+    leaf = leaves[0]
+    if getattr(leaf, "ndim", 0):
+        leaf = leaf.ravel()[0]
+    jax.device_get(leaf)
+
+
 def benchmark(fn: Callable, *args, iterations: int = 10,
               warmup: int = 2) -> float:
-    """Median wall time per call (seconds) of a jitted callable, compile
-    excluded; blocks on device completion each call."""
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    times = []
+    """Mean wall time per call (seconds) of a jitted callable, compile
+    excluded.  All ``iterations`` calls are enqueued back-to-back and a
+    single :func:`sync` closes the timed window, so per-call dispatch/RPC
+    latency is amortized (the per-call figure is an average, not a
+    median)."""
+    out = None
+    for _ in range(max(warmup, 1)):
+        out = fn(*args)
+    sync(out)
+    t0 = time.perf_counter()
     for _ in range(iterations):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2]
+        out = fn(*args)
+    sync(out)
+    return (time.perf_counter() - t0) / iterations
 
 
 @dataclass

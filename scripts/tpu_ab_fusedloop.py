@@ -41,14 +41,13 @@ def main():
     for name, run in (("scan", jax.jit(scan_run)), ("fused", fused)):
         t0 = time.perf_counter()
         out = run(u0, b, om)
-        jax.block_until_ready(out)
+        cs = float(sum(jnp.sum(x) for x in out))   # host fetch = real barrier
         print(f"{name}: compile+first {time.perf_counter()-t0:.1f}s",
               file=sys.stderr)
-        cs = float(sum(jnp.sum(x) for x in out))
         ts = []
         for _ in range(5):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(u0, b, om))
+            float(run(u0, b, om)[0].ravel()[0])
             ts.append(time.perf_counter() - t0)
         ct = min(ts) / K
         print(f"{name}: cycle {ct*1e3:.3f} ms, {n_dof/ct:.3e} DoF/s, "

@@ -39,13 +39,12 @@ def main():
             run = solve_mod.make_cycle_loop(low, K)
             t0 = time.perf_counter()
             out = run(u0, b, om)
-            jax.block_until_ready(out)
+            cs = float(sum(jnp.sum(x) for x in out))   # host fetch = barrier
             comp = time.perf_counter() - t0
-            cs = float(sum(jnp.sum(x) for x in out))
             ts = []
             for _ in range(4):
                 t0 = time.perf_counter()
-                jax.block_until_ready(run(u0, b, om))
+                float(run(u0, b, om)[0].ravel()[0])
                 ts.append(time.perf_counter() - t0)
             ct = min(ts) / K
             print(f"R={R}: cycle {ct*1e3:.3f} ms {n_dof/ct:.3e} DoF/s "

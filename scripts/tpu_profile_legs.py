@@ -14,13 +14,13 @@ import numpy as np
 
 
 def timeit(fn, *args, reps=10):
-    import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
+    # NOTE: block_until_ready does not synchronize through the axon relay
+    # (enqueue-ack only); a scalar host fetch is the only reliable barrier.
+    float(fn(*args))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        float(fn(*args))
         ts.append(time.perf_counter() - t0)
     return min(ts)
 
@@ -48,7 +48,7 @@ def main():
     taps = (0.25, 0.5, 0.25)
 
     # K-rep wrapper to amortize ~25ms RPC latency
-    K = 50
+    K = 200
 
     def krep(f):
         def g(*a):
