@@ -109,3 +109,27 @@ def poisson_2d_variable(max_level: int = 9, min_level: int = 5) -> Problem:
                    max_level=max_level, fields=["u"],
                    level_contexts=contexts, coarsest_operator=coarsest,
                    rhs_entity=rhs_entity, rhs_builder=rhs_builder)
+
+
+def poisson_3d_variable(max_level: int = 5, min_level: int = 2) -> Problem:
+    """Variable-coefficient 3D Poisson -div(a grad u) with the reference's
+    exp-kappa coefficient (reference gallery.py:139-185); executable
+    operator is the per-node coefficient field, the position-frozen
+    constant stencil is kept for Fourier-mode analysis."""
+    contexts, coarsest = scalar_hierarchy(
+        "Poisson3DVar", 3, max_level, min_level,
+        gallery.Poisson3DVariableCoefficients())
+    rhs_entity = system.RightHandSide(
+        "f", [base.RightHandSide("f", contexts[0].grid[0])])
+    grid = contexts[0].grid[0]
+    stencil = gallery.Poisson3DVariableCoefficients().generate_stencil(grid)
+
+    def rhs_builder(dtype):
+        import jax.numpy as jnp
+        b = fold_dirichlet(stencil, grid, _u_exact_3d)   # RHS_u = 0
+        return (jnp.asarray(b, dtype=dtype),)
+
+    return Problem(name="Poisson3DVar", dimension=3, min_level=min_level,
+                   max_level=max_level, fields=["u"],
+                   level_contexts=contexts, coarsest_operator=coarsest,
+                   rhs_entity=rhs_entity, rhs_builder=rhs_builder)

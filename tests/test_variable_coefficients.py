@@ -63,3 +63,32 @@ def test_variable_poisson_vcycle_converges():
     rho = (hist[k] / hist[0]) ** (1.0 / k)
     # variable coefficients with rediscretized coarse ops: still mesh-quality
     assert rho < 0.35
+
+
+def test_variable_poisson_3d_vcycle_converges():
+    from evostencils_tpu.problems.poisson import poisson_3d_variable
+    problem = poisson_3d_variable(max_level=4, min_level=2)
+    cycle = v_cycle(problem.level_contexts, problem.rhs_entity,
+                    pre_smoothing=2, post_smoothing=2, omega=0.8,
+                    partitioning=part.Single,
+                    coarse_operator=problem.coarsest_operator)
+    lowered = lower_cycle(cycle, problem.approximation, problem.rhs_entity)
+    b = problem.build_rhs()
+    u0 = tuple(jnp.zeros_like(x) for x in b)
+    om = jnp.asarray(lowered.default_omegas)
+    run = make_solver(lowered, max_iterations=80, target_reduction=1e-10)
+    u, k, hist = run(u0, b, om)
+    k = int(k)
+    hist = np.asarray(hist)
+    assert hist[k] <= 1e-10 * hist[0] * (1 + 1e-9)
+    rho = (hist[k] / hist[0]) ** (1 / k)
+    assert rho < 0.35
+
+
+def test_3d_stencil_field_symmetric_positive():
+    gen = gallery.Poisson3DVariableCoefficients()
+    grid = Grid((7, 7, 7), (1 / 8, 1 / 8, 1 / 8), 3)
+    sf = gen.generate_stencil_field(grid)
+    A = sf.dense_matrix()
+    np.testing.assert_allclose(A, A.T, rtol=1e-12)
+    assert np.linalg.eigvalsh(A).min() > 0
