@@ -1,0 +1,130 @@
+"""Multi-problem cycle-throughput suite on the attached accelerator.
+
+Measures DoF/s through full multigrid cycles for every problem family of
+the reference's `example_problems/` (BASELINE.md table): 2D/3D Poisson,
+variable-coefficient Poisson, 2x2 linear elasticity, complex shifted-
+Laplace Helmholtz preconditioner cycles, and the nonlinear FAS V-cycle.
+
+Unlike bench.py (one JSON line for the driver) this prints a table and a
+JSON blob for BASELINE.md bookkeeping.  Timing closes each window with a
+scalar host fetch (see runtime/profiling.sync) and amortizes dispatch
+latency over K cycles per launch.
+
+Run alone (single-client TPU tunnel):
+    PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_suite.py
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def measure(low, b, omegas_dtype, K=100, reps=4):
+    import jax
+    import jax.numpy as jnp
+    u0 = tuple(jnp.zeros_like(x) for x in b)
+    om = jnp.asarray(low.default_omegas, omegas_dtype)
+
+    def k_cycles(u, bf, omg):
+        def body(u, _):
+            return low.step(u, bf, omg), None
+        u, _ = jax.lax.scan(body, u, None, length=K)
+        return sum(jnp.real(jnp.sum(x)) for x in u)
+
+    run = jax.jit(k_cycles)
+    t0 = time.perf_counter()
+    float(run(u0, b, om))
+    compile_s = time.perf_counter() - t0
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run(u0, b, om))
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / K, compile_s
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp  # noqa: F401
+
+    from evostencils_tpu.problems.poisson import (poisson_2d, poisson_3d,
+                                                  poisson_2d_variable)
+    from evostencils_tpu.problems.elasticity import linear_elasticity_2d
+    from evostencils_tpu.problems.helmholtz import helmholtz_2d
+    from evostencils_tpu.problems.fas import fas_2d_basic
+    from evostencils_tpu.compiler.cycles import v_cycle, fas_v_cycle
+    from evostencils_tpu.compiler.lower import lower_cycle
+    from evostencils_tpu.ir import partitioning as part
+
+    print(f"[suite] device: {jax.devices()[0]}", file=sys.stderr)
+
+    cases = []
+
+    def add_case(name, problem, cycle_builder, dtype, note=""):
+        problem.dtype = dtype
+        cycle = cycle_builder(problem)
+        low = lower_cycle(cycle, problem.approximation, problem.rhs_entity)
+        b = problem.build_rhs()
+        n_dof = sum(int(np.prod(g.size)) for g in problem.finest_grid)
+        cases.append((name, low, b, n_dof, note))
+
+    def std_v(problem, omega=1.15, partitioning=part.RedBlack):
+        return v_cycle(problem.level_contexts, problem.rhs_entity,
+                       pre_smoothing=2, post_smoothing=1, omega=omega,
+                       partitioning=partitioning,
+                       coarse_operator=problem.coarsest_operator)
+
+    import os
+    small = bool(os.environ.get("BENCH_SUITE_SMALL"))
+    L = (lambda big, tiny: tiny if small else big)
+
+    f32 = np.float32
+    add_case(f"poisson2d_{2**L(12,5)-1}sq",
+             poisson_2d(max_level=L(12, 5), min_level=L(5, 3)),
+             std_v, f32, "reference solver block, RB-GS 1.15")
+    add_case(f"poisson3d_{2**L(8,4)-1}cube",
+             poisson_3d(max_level=L(8, 4), min_level=2),
+             std_v, f32, "7-point, RB-GS 1.15")
+    add_case(f"poisson2d_var_{2**L(11,5)-1}sq",
+             poisson_2d_variable(max_level=L(11, 5), min_level=L(5, 3)),
+             lambda p: std_v(p, omega=0.8, partitioning=part.Single),
+             f32, "variable coefficients, Jacobi 0.8")
+    add_case(f"elasticity2d_{2**L(11,5)-1}sq",
+             linear_elasticity_2d(max_level=L(11, 5), min_level=L(4, 3)),
+             lambda p: std_v(p, omega=1.25),
+             f32, "2x2 system, collective RB 1.25")
+    add_case(f"helmholtz2d_{2**L(11,5)-1}sq",
+             helmholtz_2d(max_level=L(11, 5), min_level=3),
+             lambda p: std_v(p, omega=0.6), np.complex64,
+             "complex shifted-Laplace preconditioner cycle, RB 0.6")
+    add_case(f"fas2d_{2**L(10,5)-1}sq",
+             fas_2d_basic(max_level=L(10, 5), min_level=L(6, 3)),
+             lambda p: fas_v_cycle(p.level_contexts, p.rhs_entity,
+                                   coarse_operator=p.coarsest_operator),
+             f32, "nonlinear FAS, Newton-Jacobi 0.8")
+
+    results = {}
+    for name, low, b, n_dof, note in cases:
+        om_dtype = (np.float32 if b[0].dtype != np.complex64
+                    else np.complex64)
+        try:
+            t, comp = measure(low, b, om_dtype)
+        except Exception as e:  # keep the suite going
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:140]}",
+                  flush=True)
+            continue
+        dofs = n_dof / t
+        results[name] = {"cycle_ms": t * 1e3, "dof_per_s": dofs}
+        print(f"{name:28s} {n_dof:>12d} DoF  {t*1e3:8.3f} ms/cycle  "
+              f"{dofs:.3e} DoF/s  (compile {comp:.0f}s)  # {note}",
+              flush=True)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
