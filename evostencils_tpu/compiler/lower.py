@@ -370,8 +370,16 @@ def transfer_three_tap(op):
 
 
 class _Lowering:
-    def __init__(self, approximation, rhs, omegas, root=None):
+    def __init__(self, approximation, rhs, omegas, root=None,
+                 cgs_override=None):
         self.omegas = omegas
+        #: ``(fields, omegas) -> fields`` used for CoarseGridSolver nodes
+        #: whose ``expression`` is None — this is how a coarser chunk's
+        #: evolved cycle is spliced in as the coarse-grid solver of an
+        #: already-evolved finer chunk (level-chunked runs, reference
+        #: optimization/program.py:810-899) without mutating the shared
+        #: CGS terminal object of the grammar.
+        self.cgs_override = cgs_override
         self.env: Dict[int, object] = {}
         self.memo: Dict[int, object] = {}
         self.approximation = approximation
@@ -1172,7 +1180,11 @@ class _Lowering:
     def apply_coarse_solver(self, cgs: base.CoarseGridSolver, fields):
         if cgs.expression is not None:
             # evolved coarse solver: one application of the stored cycle
+            if getattr(cgs.expression, "wants_omegas", False):
+                return cgs.expression(fields, self.omegas)
             return cgs.expression(fields)
+        if self.cgs_override is not None:
+            return self.cgs_override(fields, self.omegas)
         op = cgs.operator
         nl = _nonlinear_of(op)
         if nl is not None:
@@ -1210,6 +1222,17 @@ NONLINEAR_CGS_SWEEPS = 200   # reference FAS CGS@coarsest: 200 smoother sweeps
 NONLINEAR_CGS_OMEGA = 0.8
 
 
+def _find_fine_operator(root):
+    """Locate the finest-level operator for residual computation."""
+    res_nodes = transformations.find_nodes(root, base.Residual)
+    fine_grids = field_grids(root)
+    for r in res_nodes:
+        if field_grids(r) == fine_grids or \
+                [g.size for g in field_grids(r)] == [g.size for g in fine_grids]:
+            return r.operator
+    return None
+
+
 def lower_cycle(root: base.Cycle, approximation, rhs) -> LoweredCycle:
     """Lower a cycle expression to a jit-compatible step function."""
     n = transformations.assign_cycle_ids(root)
@@ -1221,19 +1244,85 @@ def lower_cycle(root: base.Cycle, approximation, rhs) -> LoweredCycle:
         lowering.bind(u_fields, b_fields)
         return lowering.eval_function(root)
 
-    # locate the finest operator for residual computation
-    res_nodes = transformations.find_nodes(root, base.Residual)
-    fine_grids = field_grids(root)
-    fine_op = None
-    for r in res_nodes:
-        if field_grids(r) == fine_grids or \
-                [g.size for g in field_grids(r)] == [g.size for g in fine_grids]:
-            fine_op = r.operator
-            break
+    return LoweredCycle(step=step, n_omegas=n, default_omegas=default_omegas,
+                        grids=field_grids(root),
+                        operator=_find_fine_operator(root), expression=root,
+                        approximation=approximation, rhs=rhs)
+
+
+@dataclass
+class ChainLink:
+    """One finished chunk of a level-chunked run: its best cycle expression
+    and the grid-function entities it binds (reference: each chunk's best
+    cycle function is appended to the solver program and the next run's
+    coarse-grid calls resolve to it, optimization/program.py:890-898)."""
+    root: base.Cycle
+    approximation: object
+    rhs: object
+
+
+def make_chain_applier(root, approximation, rhs, inner=None):
+    """Wrap a chunk cycle as ``fn(fields, omegas) -> fields`` starting from a
+    zero initial guess, with ``inner`` (same signature, or None) spliced into
+    its unsolved CoarseGridSolver nodes.  The omegas vector is the composed
+    program's full relaxation-factor vector, indexed by the global cycle ids
+    previously assigned across all chunks (lower_composed)."""
+
+    def applier(fields, omegas):
+        lowering = _Lowering(approximation, rhs, omegas, root=root,
+                             cgs_override=inner)
+        u0 = tuple(jnp.zeros_like(f) for f in fields)
+        lowering.bind(u0, tuple(fields))
+        return lowering.eval_function(root)
+
+    applier.wants_omegas = True
+    return applier
+
+
+def lower_composed(chain: List[ChainLink], cand_root: base.Cycle,
+                   cand_approximation, cand_rhs) -> LoweredCycle:
+    """Lower the full-program composition of a level-chunked run: the finer
+    chunks' best cycles (``chain``, finest first) stacked so that each
+    chunk's unsolved coarse-grid solve dispatches to the next, with the
+    candidate coarse cycle innermost.
+
+    This is the native counterpart of the reference's solver-program
+    splicing (a coarser run's candidates are measured as the coarse-grid
+    solver underneath the already-evolved finer cycles,
+    optimization/program.py:810-899, exastencils.py:485-537).  Cycle ids are
+    assigned chain-first, candidate last, so one omegas vector drives the
+    whole program; the candidate's relaxation factors stay traced arguments
+    and a population sharing the composed structure still batches into one
+    vmapped TPU program."""
+    if not chain:
+        return lower_cycle(cand_root, cand_approximation, cand_rhs)
+    offset = 0
+    for link in chain:
+        offset = transformations.assign_cycle_ids(link.root, start=offset)
+    n = transformations.assign_cycle_ids(cand_root, start=offset)
+    all_cycles = [c for link in chain
+                  for c in transformations.find_nodes(link.root, base.Cycle)]
+    all_cycles += transformations.find_nodes(cand_root, base.Cycle)
+    default_omegas = np.array([float(c.relaxation_factor)
+                               for c in all_cycles])
+
+    inner = make_chain_applier(cand_root, cand_approximation, cand_rhs)
+    for link in reversed(chain[1:]):
+        inner = make_chain_applier(link.root, link.approximation, link.rhs,
+                                   inner)
+    head = chain[0]
+
+    def step(u_fields, b_fields, omegas):
+        lowering = _Lowering(head.approximation, head.rhs, omegas,
+                             root=head.root, cgs_override=inner)
+        lowering.bind(u_fields, b_fields)
+        return lowering.eval_function(head.root)
 
     return LoweredCycle(step=step, n_omegas=n, default_omegas=default_omegas,
-                        grids=fine_grids, operator=fine_op, expression=root,
-                        approximation=approximation, rhs=rhs)
+                        grids=field_grids(head.root),
+                        operator=_find_fine_operator(head.root),
+                        expression=head.root,
+                        approximation=head.approximation, rhs=head.rhs)
 
 
 def make_cycle_applier(root: base.Cycle, approximation, rhs,

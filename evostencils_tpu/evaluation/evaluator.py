@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..compiler.lower import lower_cycle, LoweredCycle
+from ..compiler.lower import lower_cycle, lower_composed, ChainLink, LoweredCycle
 from ..compiler.solve import make_solver, residual_norm_fn
 from ..grammar import gp
 from ..ir import transformations, base
@@ -51,10 +51,26 @@ class CycleEvaluator:
 
     def __init__(self, problem, *, dtype=None, max_iterations: Optional[int] = None,
                  target_reduction: Optional[float] = None,
-                 throughput_cycles: int = 5, infinity: float = 1e100):
+                 throughput_cycles: int = 5, infinity: float = 1e100,
+                 chain: Optional[List[ChainLink]] = None,
+                 cand_entities: Optional[Tuple] = None):
         from ..config import enable_persistent_compilation_cache
         enable_persistent_compilation_cache()
         self.problem = problem
+        #: level-chunked runs: the finer chunks' best cycles (finest first);
+        #: candidates are then coarse cycles spliced in underneath and the
+        #: measured solve is the FULL composed program on the finest grid
+        #: (reference optimization/program.py:810-899)
+        self.chain = chain or []
+        #: (approximation, rhs) entities the candidate chunk's trees bind
+        self.cand_entities = cand_entities
+        if self.chain and cand_entities is None:
+            raise ValueError("chain evaluation requires cand_entities")
+        #: fixed omega prefix of the composed program (chain cycles)
+        self._omega_prefix = np.concatenate(
+            [[float(c.relaxation_factor)
+              for c in transformations.find_nodes(link.root, base.Cycle)]
+             for link in self.chain]) if self.chain else np.zeros(0)
         self.dtype = dtype or problem.dtype
         if self.dtype == np.float64 and not jax.config.jax_enable_x64:
             self.dtype = np.float32      # what the backend can actually hold
@@ -81,8 +97,12 @@ class CycleEvaluator:
         entry = self._solver_cache.get(key)
         if entry is not None:
             return entry
-        lowered = lower_cycle(expression, self.problem.approximation,
-                              self.problem.rhs_entity)
+        if self.chain:
+            lowered = lower_composed(self.chain, expression,
+                                     *self.cand_entities)
+        else:
+            lowered = lower_cycle(expression, self.problem.approximation,
+                                  self.problem.rhs_entity)
         outer = getattr(self.problem, "outer_solver", None)
         if outer is not None:
             solver = self._make_outer_solver(lowered, expression, outer)
@@ -248,9 +268,13 @@ class CycleEvaluator:
         # log2(mu) while wasting only the padded lanes' device time
         omega_batches: Dict[str, jnp.ndarray] = {}
         for key, members in groups.items():
+            # composed chunk programs: fixed chain omegas prefix the
+            # candidate's own factors (lower_composed id assignment)
             omega_batch = np.stack([
-                np.array([float(c.relaxation_factor) for c in
-                          transformations.find_nodes(expressions[i], base.Cycle)])
+                np.concatenate([
+                    self._omega_prefix,
+                    [float(c.relaxation_factor) for c in
+                     transformations.find_nodes(expressions[i], base.Cycle)]])
                 for i in members])
             B = len(members)
             bucket = 1 << (B - 1).bit_length()

@@ -128,11 +128,14 @@ def expression_to_dot(expr: base.Expression, path: str = None) -> str:
     return text
 
 
-def assign_cycle_ids(expr: base.Expression) -> int:
-    """Number every Cycle node in evaluation order; returns the count.
-    Used by the relaxation-weight tuning path (reference
-    optimization/program.py weight_obtained/weight_set bookkeeping)."""
+def assign_cycle_ids(expr: base.Expression, start: int = 0) -> int:
+    """Number every Cycle node in evaluation order, starting at ``start``;
+    returns ``start + count`` (the next free id).  Used by the
+    relaxation-weight tuning path (reference optimization/program.py
+    weight_obtained/weight_set bookkeeping) and by composed chunk programs,
+    where the finer chunks' cycles occupy the id prefix and each candidate
+    coarse cycle is numbered after them (compiler/lower.lower_composed)."""
     cycles = find_nodes(expr, base.Cycle)
     for i, c in enumerate(cycles):
-        c.global_id = i
-    return len(cycles)
+        c.global_id = start + i
+    return start + len(cycles)

@@ -143,8 +143,46 @@ def uniform_reference_points(n_obj: int, p: int):
     return np.array(out, dtype=float) / p
 
 
-def selNSGA3(individuals, k, ref_points):
-    """NSGA-III niching selection (simplified associate-and-fill)."""
+def _nsga3_normalize(F):
+    """Adaptive normalization of Deb & Jain 2014 (Algorithms 2+3): translate
+    by the ideal point, find per-axis extreme points via the achievement
+    scalarizing function, and divide by the hyperplane intercepts those
+    extremes span.  Falls back to the nadir (max) point when the hyperplane
+    is degenerate (singular system or non-positive intercepts)."""
+    n_obj = F.shape[1]
+    ideal = F.min(axis=0)
+    Ft = F - ideal
+    # ASF with axis-aligned weights (eps off-axis): extreme point for axis j
+    # minimizes max_i Ft_i / w_ij
+    eps = 1e-6
+    extremes = np.empty((n_obj, n_obj))
+    for j in range(n_obj):
+        w = np.full(n_obj, eps)
+        w[j] = 1.0
+        asf = (Ft / w).max(axis=1)
+        extremes[j] = Ft[int(np.argmin(asf))]
+    nadir = Ft.max(axis=0)
+    intercepts = nadir.copy()
+    try:
+        b = np.linalg.solve(extremes, np.ones(n_obj))
+        if np.all(b > 1e-12):
+            cand = 1.0 / b
+            # intercepts must be positive and not collapse below observed
+            # translated values' scale (duplicate extremes -> huge values)
+            if np.all(cand > 1e-12) and np.all(np.isfinite(cand)):
+                intercepts = cand
+    except np.linalg.LinAlgError:
+        pass
+    intercepts = np.where(intercepts > 1e-12, intercepts, 1.0)
+    return Ft / intercepts
+
+
+def selNSGA3(individuals, k, ref_points, rng: random.Random = random):
+    """NSGA-III environmental selection (Deb & Jain 2014, Algorithm 1):
+    non-dominated sort, ideal-point + extreme-point-intercept normalization,
+    association to reference directions by perpendicular distance, and
+    niche-preserving fill of the partial front with the published random
+    tie-breaking."""
     fronts = sort_nondominated(individuals, k)
     chosen = []
     last_front = None
@@ -156,40 +194,53 @@ def selNSGA3(individuals, k, ref_points):
             break
     if last_front is None or len(chosen) == k:
         return chosen[:k]
-    # normalize objectives over chosen + last front
+
     pool = chosen + last_front
     F = np.array([ind.fitness.values for ind in pool], dtype=float)
-    F = np.where(np.isfinite(F), F, np.nanmax(np.where(np.isfinite(F), F, np.nan),
-                                              axis=0, initial=1.0) * 10)
-    fmin = F.min(axis=0)
-    frange = F.max(axis=0) - fmin
-    frange[frange == 0] = 1.0
-    Fn = (F - fmin) / frange
+    # clamp non-finite fitnesses to a large sentinel above the finite range
+    finite_max = np.nanmax(np.where(np.isfinite(F), F, np.nan), axis=0,
+                           initial=1.0)
+    F = np.where(np.isfinite(F), F, finite_max * 10)
+    Fn = _nsga3_normalize(F)
 
-    def associate(fvec):
-        # perpendicular distance to each reference direction
-        norms = np.linalg.norm(ref_points, axis=1)
-        norms[norms == 0] = 1.0
-        proj = (fvec @ ref_points.T) / norms
-        d = np.linalg.norm(fvec[None, :] - proj[:, None] *
-                           ref_points / norms[:, None], axis=1)
-        return int(np.argmin(d)), float(np.min(d))
+    # association: perpendicular distance to each reference direction
+    norms = np.linalg.norm(ref_points, axis=1)
+    norms[norms == 0] = 1.0
+    dirs = ref_points / norms[:, None]
+    proj = Fn @ dirs.T                                   # (pool, refs)
+    dist = np.linalg.norm(Fn[:, None, :] - proj[:, :, None] * dirs[None],
+                          axis=2)
+    assoc = dist.argmin(axis=1)
+    assoc_d = dist[np.arange(len(pool)), assoc]
 
     niche_count = defaultdict(int)
     for i in range(len(chosen)):
-        r, _ = associate(Fn[i])
-        niche_count[r] += 1
-    candidates = []
+        niche_count[int(assoc[i])] += 1
+    # members of the last front grouped by their reference point
+    members = defaultdict(list)
     for j in range(len(last_front)):
-        r, d = associate(Fn[len(chosen) + j])
-        candidates.append((r, d, j))
-    while len(chosen) < k and candidates:
-        min_niche = min(niche_count.get(r, 0) for r, _, _ in candidates)
-        eligible = [c for c in candidates if niche_count.get(c[0], 0) == min_niche]
-        r, d, j = min(eligible, key=lambda c: c[1])
+        i = len(chosen) + j
+        members[int(assoc[i])].append((float(assoc_d[i]), j))
+
+    available = set(members.keys()) | {
+        r for r in range(len(ref_points))}
+    while len(chosen) < k:
+        # J_min: least-niched reference points still available, random pick
+        min_count = min(niche_count.get(r, 0) for r in available)
+        jmin = [r for r in available if niche_count.get(r, 0) == min_count]
+        r = jmin[rng.randrange(len(jmin))]
+        if not members[r]:
+            available.discard(r)   # no last-front member associates with it
+            continue
+        if niche_count.get(r, 0) == 0:
+            # empty niche: take the closest associated member
+            d, j = min(members[r])
+            members[r].remove((d, j))
+        else:
+            d, j = members[r][rng.randrange(len(members[r]))]
+            members[r].remove((d, j))
         chosen.append(last_front[j])
-        niche_count[r] += 1
-        candidates.remove((r, d, j))
+        niche_count[r] = niche_count.get(r, 0) + 1
     return chosen[:k]
 
 

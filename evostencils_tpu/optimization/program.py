@@ -23,6 +23,7 @@ Differences by design:
 
 from __future__ import annotations
 
+import hashlib
 import math
 import os
 import pickle
@@ -36,7 +37,7 @@ import numpy as np
 from ..grammar import gp
 from ..grammar.multigrid import generate_primitive_set
 from ..ir import base, system, transformations
-from ..compiler.lower import make_cycle_applier
+from ..compiler.lower import ChainLink
 from ..evaluation.evaluator import CycleEvaluator, EvaluationResult
 from ..parallel.comm import Communicator, NullCommunicator
 from . import nsga
@@ -44,13 +45,26 @@ from . import nsga
 
 @dataclass
 class CheckPoint:
-    """Pickled evolution state (reference optimization/program.py:47-64)."""
+    """Pickled evolution state (reference optimization/program.py:47-64).
+
+    Saved at end-of-generation, so ``population`` is the post-selection
+    population of size mu and ``generation`` the last completed generation;
+    resuming restores the exact evolution stream (``rng_state``, fitness
+    ``cache``, ``hof_items``).  ``finished_chunks`` holds the grammar
+    strings of the best individual of every *completed* level chunk, so a
+    resumed run rebuilds the coarse-solver chain without re-evolving them
+    (reference program.py:794-801, :813-820)."""
     min_level: int
     max_level: int
     generation: int
-    solver_expression: object
+    finished_chunks: list
     population: list
     logbooks: list
+    rng_state: object = None
+    cache: dict = None
+    hof_items: list = None
+    gen_count: int = 0
+    level_offset: int = 0
 
     def dump_to_file(self, path: str):
         with open(path, "wb") as f:
@@ -106,6 +120,9 @@ class Optimizer:
         self.cache_misses = 0
         self.total_evaluations = 0
         self._pset = None
+        self._pset_builder = None   # problem -> pset, used by _generalize
+        self._maximum_local_system_size = 8
+        self._enable_partitioning = True
         self._n_objectives = 2
 
     # -- caching -------------------------------------------------------------
@@ -235,7 +252,7 @@ class Optimizer:
                           objectives, checkpoint_frequency=2,
                           checkpoint: Optional[CheckPoint] = None,
                           use_random_search=False,
-                          solver_expression=None,
+                          finished_chunks=None,
                           node_replacement_probability=1.0 / 3.0,
                           verbose=True):
         toolbox_generate = lambda: gp.genGrow(self._pset, 0, 50, rng=self.rng)
@@ -245,12 +262,45 @@ class Optimizer:
                 return gp.mutNodeReplacement(ind, self._pset, rng=self.rng)
             return gp.mutate_subtree(ind, 0, 10, self._pset, rng=self.rng)
 
-        use_checkpoint = (checkpoint is not None
-                          and mu_ == len(checkpoint.population))
+        use_checkpoint = checkpoint is not None
+        if use_checkpoint and mu_ != len(checkpoint.population):
+            if self.comm.rank == 0:
+                print(f"Warning: checkpoint population size "
+                      f"{len(checkpoint.population)} does not match mu "
+                      f"{mu_} — ignoring checkpoint", flush=True)
+            use_checkpoint = False
+        count = 0
+        level_offset = 0
         if use_checkpoint:
             population = checkpoint.population
             min_generation = checkpoint.generation
-            logbook = logbooks[-1] if logbooks else []
+            if logbooks:
+                logbook = logbooks[-1]
+            else:
+                logbook = []
+                logbooks.append(logbook)
+            if getattr(checkpoint, "rng_state", None) is not None:
+                self.rng.setstate(checkpoint.rng_state)
+            if getattr(checkpoint, "cache", None):
+                self.individual_cache.update(checkpoint.cache)
+            if getattr(checkpoint, "hof_items", None):
+                hof.update(checkpoint.hof_items)
+            count = getattr(checkpoint, "gen_count", 0)
+            level_offset = getattr(checkpoint, "level_offset", 0)
+            if level_offset and self.problem_factory is not None:
+                # re-grow the problem to the checkpointed generalization
+                # state so evaluation matches the interrupted run.  The
+                # checkpointed individuals already carry the grown grammar's
+                # node names, so rebind them by name (no positional rename),
+                # and re-restore the cache _rebuild_problem wipes — the
+                # checkpointed fitness/cache reflect the grown problem.
+                self._rebuild_problem(min_level + level_offset,
+                                      max_level + level_offset)
+                if getattr(checkpoint, "cache", None):
+                    self.individual_cache.update(checkpoint.cache)
+                for ind in population:
+                    for pos, node in enumerate(ind):
+                        ind[pos] = self._pset.mapping[node.name]
         else:
             population = [toolbox_generate()
                           for _ in range(initial_population_size)]
@@ -262,7 +312,10 @@ class Optimizer:
             # the sharded-evaluation contract requires replicated
             # populations (same rng seed on every rank) — fail loudly
             # instead of silently assigning fitness to wrong individuals
-            digest = hash(tuple(sorted(str(i) for i in population)))
+            # stable across interpreters (str hashes are salted per process)
+            digest = hashlib.sha256(
+                "\n".join(sorted(str(i) for i in population))
+                .encode()).hexdigest()
             digests = self.comm.allgather_object(digest)
             if len(set(digests)) != 1:
                 raise RuntimeError(
@@ -270,28 +323,30 @@ class Optimizer:
                     "ranks must construct the Optimizer with the same "
                     "rng seed (parallel/comm.py replication contract)")
 
-        self.evaluate_invalid(population)
-        population = select(population, mu_)
-        hof.update(population)
-        record = nsga.compile_statistics(population, objectives)
-        logbook.append({"gen": min_generation, "nevals": len(population),
-                        **record})
-        if verbose and self.comm.rank == 0:
-            self._print_record(logbook[-1], objectives)
+        if not use_checkpoint:
+            # (a resumed population is the already-selected, already-scored
+            # state at end of checkpoint.generation — re-selecting here
+            # would perturb the restored evolution stream)
+            self.evaluate_invalid(population)
+            population = select(population, mu_)
+            hof.update(population)
+            record = nsga.compile_statistics(population, objectives)
+            logbook.append({"gen": min_generation, "nevals": len(population),
+                            **record})
+            if verbose and self.comm.rank == 0:
+                self._print_record(logbook[-1], objectives)
 
-        count = 0
-        level_offset = 0
         for gen in range(min_generation + 1, generations + 1):
             if count >= generalization_interval:
                 # generalization: grow the problem, re-evaluate everything
+                # (reference optimization/program.py:512-539)
                 level_offset += 1
                 count = 0
                 if self.problem_factory is not None:
-                    self._generalize(min_level + level_offset,
-                                     max_level + level_offset)
+                    population = self._generalize(min_level + level_offset,
+                                                  max_level + level_offset,
+                                                  population)
                     hof.clear()
-                    for ind in population:
-                        ind.fitness.invalidate()
                     self.evaluate_invalid(population)
                     population = select(population, mu_)
                     hof.update(population)
@@ -333,16 +388,19 @@ class Optimizer:
             nevals = self.evaluate_invalid(offspring)
             hof.update(offspring)
 
-            if gen % checkpoint_frequency == 0:
-                self._save_checkpoint(min_level, max_level, gen,
-                                      solver_expression, population, logbooks)
-
             population = select(population + offspring, mu_)
             count += 1
             record = nsga.compile_statistics(population, objectives)
             logbook.append({"gen": gen, "nevals": nevals, **record})
             if verbose and self.comm.rank == 0:
                 self._print_record(logbook[-1], objectives)
+
+            if gen % checkpoint_frequency == 0:
+                # end-of-generation state: post-selection population + rng +
+                # cache + hof, so a resume continues the exact stream
+                self._save_checkpoint(min_level, max_level, gen,
+                                      finished_chunks, population, logbooks,
+                                      hof, count, level_offset)
 
         hof.update(population)
         return population, logbook, hof, min_level + level_offset, \
@@ -356,26 +414,78 @@ class Optimizer:
             parts.append(f"{name}[avg={s['avg']:.3g} min={s['min']:.3g}]")
         print("  ".join(parts), flush=True)
 
-    def _save_checkpoint(self, min_level, max_level, gen, solver_expression,
-                         population, logbooks):
+    def _save_checkpoint(self, min_level, max_level, gen, finished_chunks,
+                         population, logbooks, hof=None, gen_count=0,
+                         level_offset=0):
         if self.comm.rank != 0:     # rank-0-only I/O (reference :278-279)
             return
         try:
             os.makedirs(self.checkpoint_directory_path, exist_ok=True)
-            cp = CheckPoint(min_level, max_level, gen, solver_expression,
-                            population, logbooks)
+            cp = CheckPoint(min_level, max_level, gen,
+                            list(finished_chunks or []), population, logbooks,
+                            rng_state=self.rng.getstate(),
+                            cache=dict(self.individual_cache),
+                            hof_items=[ind.clone() for ind in hof]
+                            if hof is not None else None,
+                            gen_count=gen_count, level_offset=level_offset)
             cp.dump_to_file(
                 os.path.join(self.checkpoint_directory_path, "checkpoint.p"))
         except (pickle.PickleError, TypeError, OSError) as e:
             print(f"checkpoint failed: {e}", flush=True)
 
-    def _generalize(self, new_min_level, new_max_level):
+    def _generalize(self, new_min_level, new_max_level, population):
+        """Grow the problem, rebuild the grammar over the regrown hierarchy,
+        and transfer the population onto it — the native counterpart of the
+        reference re-initializing code generation at shifted levels
+        (program.py:512-539).
+
+        Grammar symbol names embed absolute levels (``P_3`` is the level-3
+        prolongation entity), so trees cannot re-parse by name after the
+        shift.  ``generate_primitive_set`` registers symbols in a
+        deterministic order for a fixed hierarchy depth, so the transfer is
+        positional: the i-th registered symbol of the old grammar maps to
+        the i-th of the new one, and every tree carries over node-by-node."""
+        old_pset = self._pset
+        self._rebuild_problem(new_min_level, new_max_level)
+        old_names = list(old_pset.mapping)
+        new_names = list(self._pset.mapping)
+        if len(old_names) != len(new_names):
+            raise ValueError(
+                "regrown grammar has a different symbol count "
+                f"({len(new_names)} vs {len(old_names)}) — the problem "
+                "factory changed the grammar shape, not just the levels")
+        rename = dict(zip(old_names, new_names))
+        reparsed = []
+        for ind in population:
+            new_ind = gp.Individual(
+                [self._pset.mapping[rename[n.name]] for n in ind])
+            reparsed.append(new_ind)
+        return reparsed
+
+    def _rebuild_problem(self, new_min_level, new_max_level):
+        """Regrow the problem via ``problem_factory`` and rebuild the
+        evaluator + primitive set over the new hierarchy."""
         problem = self.problem_factory(new_min_level, new_max_level)
+        if problem.levels_total != self.problem.levels_total:
+            raise ValueError(
+                "problem_factory must preserve the hierarchy depth during "
+                f"generalization (got {problem.levels_total} levels, "
+                f"expected {self.problem.levels_total})")
         self.problem = problem
         self.evaluator = CycleEvaluator(
             problem, dtype=self.evaluator.dtype,
             max_iterations=self.evaluator.max_iterations,
             target_reduction=self.evaluator.target_reduction)
+        if self._pset_builder is not None:
+            self._pset = self._pset_builder(problem)
+        else:
+            pset, _ = generate_primitive_set(
+                problem.approximation, problem.rhs_entity,
+                problem.level_contexts, problem.coarsest_operator,
+                maximum_local_system_size=self._maximum_local_system_size,
+                enable_partitioning=self._enable_partitioning,
+                FAS=problem.nonlinear_term is not None)
+            self._pset = pset
         self.individual_cache.clear()
 
     # -- algorithm frontends -------------------------------------------------
@@ -406,7 +516,7 @@ class Optimizer:
         ref_points = nsga.uniform_reference_points(2, mu_)
 
         def select(pop, k):
-            return nsga.selNSGA3(pop, k, ref_points)
+            return nsga.selNSGA3(pop, k, ref_points, rng=self.rng)
 
         return self._run(select=select,
                          select_for_mating=lambda pop, k: nsga.selRandom(
@@ -419,8 +529,11 @@ class Optimizer:
              min_level, max_level, generalization_interval=10 ** 9,
              crossover_probability=0.7, mutation_probability=0.3,
              logbooks=None, checkpoint=None, checkpoint_frequency=2,
-             use_random_search=False, solver_expression=None, verbose=True):
+             use_random_search=False, finished_chunks=None,
+             pset_builder=None, verbose=True):
         self._pset = pset
+        if pset_builder is not None:
+            self._pset_builder = pset_builder
         logbooks = logbooks if logbooks is not None else []
         hof = nsga.ParetoFront() if pareto else nsga.HallOfFame(2 * mu_)
         return self.ea_mu_plus_lambda(
@@ -428,7 +541,7 @@ class Optimizer:
             mu_, lambda_, crossover_probability, mutation_probability,
             min_level, max_level, logbooks, select, select_for_mating, hof,
             objectives, checkpoint_frequency, checkpoint, use_random_search,
-            solver_expression, verbose=verbose)
+            finished_chunks, verbose=verbose)
 
     # -- top-level entry -----------------------------------------------------
 
@@ -451,14 +564,33 @@ class Optimizer:
                                   continue_from_checkpoint=False,
                                   use_random_search=False,
                                   verbose=True):
-        """Level-chunked evolution: coarser chunks first, each best cycle
-        becoming the coarse-grid solver of the next finer chunk
-        (reference optimization/program.py:770-902)."""
+        """Level-chunked evolution (reference optimization/program.py:770-902):
+        the finest chunk evolves first (its coarse-grid solve is a default
+        direct/CG solve of the operator below it); every subsequent, coarser
+        chunk's candidates are measured as the coarse-grid solver spliced in
+        underneath the already-evolved finer chain — the whole composed
+        program is solved on the finest grid, the native counterpart of the
+        reference's solver-program splicing (exastencils.py:485-537)."""
         problem = self.problem
         levels = problem.max_level - problem.min_level
         if levels_per_run is None:
             levels_per_run = levels
         contexts = problem.level_contexts
+        FAS = problem.nonlinear_term is not None
+        if FAS and levels_per_run < levels:
+            raise NotImplementedError(
+                "level-chunked runs are not supported for FAS problems: the "
+                "chunk boundary's coarse solve needs the restricted-solution "
+                "initial guess, which a zero-start chunk cycle cannot carry")
+        if levels_per_run < levels and generalization_interval < generations:
+            # reference program.py:780-783: stepwise generalization is only
+            # supported for single-stage optimizations
+            if self.comm.rank == 0:
+                print("Warning: stepwise generalization only supported for "
+                      "single-stage optimizations — disabling it", flush=True)
+            generalization_interval = generations
+        self._maximum_local_system_size = maximum_local_system_size
+        self._enable_partitioning = enable_partitioning
 
         checkpoint = None
         cp_path = os.path.join(self.checkpoint_directory_path, "checkpoint.p")
@@ -467,55 +599,112 @@ class Optimizer:
                 checkpoint = load_checkpoint_from_file(cp_path)
             except (pickle.PickleError, EOFError):
                 checkpoint = None
+        finished: List[str] = list(getattr(checkpoint, "finished_chunks", [])
+                                   or []) if checkpoint is not None else []
 
         if optimization_method is None:
             optimization_method = self.NSGAII
 
+        base_evaluator = self.evaluator
         pops, logbooks, hofs = [], [], []
         best_expression = None
         best_individual = None
-        coarse_solver_expression = None
-        FAS = problem.nonlinear_term is not None
+        #: finished chunks' best cycles, finest first (ChainLink per chunk)
+        chain: List[ChainLink] = []
+        variant_chains = [[] for _ in self.robustness_problems]
 
-        for i in range(0, levels, levels_per_run):
-            # chunk i covers grammar over contexts[i : i+levels_per_run]
+        def sort_key(ind):
+            v = ind.fitness.values
+            if len(v) == 2:
+                return self.estimate_execution_time(v[0], v[1])
+            return v[0]
+
+        def chunk_entities(prob, chunk_ctxs, first):
+            if first:
+                return prob.approximation, prob.rhs_entity
+            approx = system.ZeroApproximation(chunk_ctxs[0].grid)
+            rhs_e = system.RightHandSide(
+                "b_c", [base.RightHandSide("b_c", g)
+                        for g in chunk_ctxs[0].grid])
+            return approx, rhs_e
+
+        for ci, i in enumerate(range(0, levels, levels_per_run)):
+            # chunk ci covers grammar over contexts[i : i+levels_per_run]
             chunk_contexts = contexts[i:i + levels_per_run]
             max_level = problem.max_level - i
             min_level = max_level - len(chunk_contexts)
-            if i == 0:
-                approximation = problem.approximation
-                rhs = problem.rhs_entity
-            else:
-                approximation = system.ZeroApproximation(
-                    chunk_contexts[0].grid)
-                rhs = system.RightHandSide(
-                    "b_c", [base.RightHandSide("b_c", g)
-                            for g in chunk_contexts[0].grid])
+            approximation, rhs = chunk_entities(problem, chunk_contexts,
+                                                ci == 0)
             coarsest_op = (contexts[i + levels_per_run].operator
                            if i + levels_per_run < len(contexts)
                            else problem.coarsest_operator)
             pset, _ = generate_primitive_set(
                 approximation, rhs, chunk_contexts, coarsest_op,
                 maximum_local_system_size=maximum_local_system_size,
-                coarse_grid_solver_expression=coarse_solver_expression,
                 enable_partitioning=enable_partitioning, FAS=FAS)
             self.individual_cache.clear()
+            self._pset = pset
+            if ci == 0:
+                self.evaluator = base_evaluator
+            else:
+                self.evaluator = CycleEvaluator(
+                    problem, dtype=base_evaluator.dtype,
+                    max_iterations=base_evaluator.max_iterations,
+                    target_reduction=base_evaluator.target_reduction,
+                    chain=list(chain), cand_entities=(approximation, rhs))
 
-            # robustness variants share the grammar shape; only supported
-            # when one run spans the full hierarchy (variant trees re-parse
-            # against the variant's own operator entities)
+            # robustness variants: each candidate must also solve every
+            # harder problem variant (reference Helmholtz k-doubling,
+            # exastencils.py:518-532); under chunked runs each variant keeps
+            # its own finished-chunk chain
             self._robustness = []
-            if self.robustness_problems and levels_per_run >= levels:
-                for variant in self.robustness_problems:
-                    pset_v, _ = generate_primitive_set(
-                        variant.approximation, variant.rhs_entity,
-                        variant.level_contexts, variant.coarsest_operator,
-                        maximum_local_system_size=maximum_local_system_size,
-                        enable_partitioning=enable_partitioning, FAS=FAS)
-                    self._robustness.append((CycleEvaluator(variant), pset_v))
+            variant_parts = []
+            for vi, variant in enumerate(self.robustness_problems):
+                v_ctxs = variant.level_contexts[i:i + levels_per_run]
+                v_approx, v_rhs = chunk_entities(variant, v_ctxs, ci == 0)
+                v_coarsest = (variant.level_contexts[i + levels_per_run]
+                              .operator
+                              if i + levels_per_run < len(
+                                  variant.level_contexts)
+                              else variant.coarsest_operator)
+                pset_v, _ = generate_primitive_set(
+                    v_approx, v_rhs, v_ctxs, v_coarsest,
+                    maximum_local_system_size=maximum_local_system_size,
+                    enable_partitioning=enable_partitioning, FAS=FAS)
+                if ci == 0:
+                    ev_v = CycleEvaluator(variant)
+                else:
+                    ev_v = CycleEvaluator(
+                        variant, chain=list(variant_chains[vi]),
+                        cand_entities=(v_approx, v_rhs))
+                self._robustness.append((ev_v, pset_v))
+                variant_parts.append((v_approx, v_rhs, pset_v))
 
+            def extend_chains(best_ind, best_expr, last_chunk):
+                if last_chunk:
+                    return
+                chain.append(ChainLink(best_expr, approximation, rhs))
+                for vi, (v_approx, v_rhs, pset_v) in enumerate(variant_parts):
+                    ind_v = gp.parse_tree(str(best_ind), pset_v)
+                    state_v = gp.compile_tree(ind_v, pset_v)
+                    expr_v = state_v[0]
+                    transformations.assign_cycle_ids(expr_v)
+                    variant_chains[vi].append(
+                        ChainLink(expr_v, v_approx, v_rhs))
+
+            last_chunk = i + levels_per_run >= levels
+            if ci < len(finished):
+                # chunk completed before the checkpoint: restore its best
+                # from the grammar string instead of re-evolving
+                best_individual = gp.parse_tree(finished[ci], pset)
+                best_expression = gp.compile_tree(best_individual, pset)[0]
+                transformations.assign_cycle_ids(best_expression)
+                extend_chains(best_individual, best_expression, last_chunk)
+                pops.append([best_individual])
+                hofs.append([best_individual])
+                continue
             tmp = None
-            if checkpoint is not None and \
+            if checkpoint is not None and ci == len(finished) and \
                     checkpoint.min_level == min_level and \
                     checkpoint.max_level == max_level:
                 tmp = checkpoint
@@ -530,13 +719,7 @@ class Optimizer:
                 mutation_probability=mutation_probability,
                 logbooks=logbooks, checkpoint=tmp,
                 use_random_search=use_random_search,
-                solver_expression=best_expression, verbose=verbose)
-
-            def sort_key(ind):
-                v = ind.fitness.values
-                if len(v) == 2:
-                    return self.estimate_execution_time(v[0], v[1])
-                return v[0]
+                finished_chunks=finished, verbose=verbose)
 
             ranked = sorted(hof, key=sort_key)
             pops.append(pop)
@@ -545,13 +728,15 @@ class Optimizer:
             state = gp.compile_tree(best_individual, self._pset)
             best_expression = state[0]
             transformations.assign_cycle_ids(best_expression)
-            if i + levels_per_run < levels:
-                coarse_solver_expression = make_cycle_applier(
-                    best_expression, approximation, rhs)
+            extend_chains(best_individual, best_expression, last_chunk)
+            finished.append(str(best_individual))
 
+        self.evaluator = base_evaluator
         return {"best_individual": best_individual,
                 "best_expression": best_expression,
                 "grammar_string": str(best_individual),
+                "chunk_grammar_strings": list(finished),
+                "chain": list(chain),
                 "populations": pops, "logbooks": logbooks, "hofs": hofs}
 
     # -- re-evaluation of stored individuals ---------------------------------

@@ -189,6 +189,14 @@ def initialize_multihost(coordinator_address: str = None,
     TPU environment (megascale/GCE metadata); explicit arguments support
     manual CPU/GPU clusters."""
     import jax
+    try:
+        # CPU clusters need an explicit cross-process collectives backend
+        # (TPU/GPU ride ICI/NCCL natively); harmless if already set
+        if jax.config.jax_platforms and \
+                jax.config.jax_platforms.startswith("cpu"):
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except AttributeError:
+        pass
     kwargs = {}
     if coordinator_address is not None:
         kwargs.update(coordinator_address=coordinator_address,

@@ -1,9 +1,13 @@
 """Per-level timing breakdown of the headline V-cycle on the live device.
 
 Times truncated cycles (levels >= L only) to attribute cycle time to
-fine-level kernels vs coarse-level launch latency.  Diagnostics only.
+fine-level kernels vs coarse-level launch latency.  Note that truncating at
+level L also moves the coarsest-grid direct solve up to level L, so each
+per-level delta includes the change in coarse-solve cost, not just the
+removed level's smoother/transfer kernels.  Diagnostics only.
 """
 
+import pathlib
 import sys
 import time
 
@@ -13,7 +17,8 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    cache_dir = str(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from evostencils_tpu.problems.poisson import poisson_2d
@@ -56,7 +61,7 @@ def main():
         u0 = tuple(jnp.zeros_like(x) for x in b)
         omegas = jnp.asarray(lowered.default_omegas, dtype=jnp.float32)
         t = timeit(lowered, u0, b, omegas)
-        delta = "" if prev is None else f"  (+{(t - prev) * 1e3:.3f} ms)"
+        delta = "" if prev is None else f"  ({(t - prev) * 1e3:+.3f} ms)"
         print(f"[prof] min_level={lo:2d}: cycle {t * 1e3:.3f} ms{delta}",
               file=sys.stderr)
         prev = t

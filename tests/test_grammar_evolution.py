@@ -111,6 +111,35 @@ class TestNSGA:
         pf.update(pop)
         assert {ind.fitness.values for ind in pf} == {(1, 5), (2, 2), (5, 1)}
 
+    def test_nsga3_normalization_hyperplane(self):
+        """Deb & Jain 2014 normalization: ideal point + extreme-point
+        hyperplane intercepts, not min/max scaling."""
+        F = np.array([[1.0, 5.0], [5.0, 1.0], [3.0, 3.0]])
+        Fn = nsga._nsga3_normalize(F)
+        # ideal (1,1); extremes (4,0) and (0,4) -> intercepts (4,4)
+        np.testing.assert_allclose(
+            Fn, [[0.0, 1.0], [1.0, 0.0], [0.5, 0.5]], atol=1e-9)
+
+    def test_nsga3_normalization_degenerate_falls_back(self):
+        # all points share one objective value -> singular hyperplane;
+        # must fall back to nadir scaling without blowing up
+        F = np.array([[1.0, 2.0], [3.0, 2.0], [2.0, 2.0]])
+        Fn = nsga._nsga3_normalize(F)
+        assert np.all(np.isfinite(Fn))
+        np.testing.assert_allclose(Fn[:, 0], [0.0, 1.0, 0.5], atol=1e-9)
+
+    def test_selNSGA3_niching_on_known_front(self):
+        """On a front lying exactly on the reference directions, niching
+        must keep the spread representatives and drop the cluster
+        duplicates."""
+        spread = [(0.0, 4.0), (1.0, 3.0), (2.0, 2.0), (3.0, 1.0), (4.0, 0.0)]
+        clones = [(2.05, 1.95), (1.05, 2.95), (3.05, 0.95)]
+        pop = self._pop(spread + clones)
+        ref = nsga.uniform_reference_points(2, 4)
+        sel = nsga.selNSGA3(pop, 5, ref, rng=random.Random(0))
+        assert len(sel) == 5
+        assert {ind.fitness.values for ind in sel} == set(spread)
+
 
 class TestEvaluator:
     def test_handbuilt_cycle_evaluates(self):
