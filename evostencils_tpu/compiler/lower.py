@@ -21,7 +21,9 @@ execute-batched lowering:
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
+from functools import reduce
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -1132,14 +1134,19 @@ class _Lowering:
         stencils = [[periodic.as_periodic(e.generate_stencil()) for e in row]
                     for row in op.entries]
         periods = [ps.period for row in stencils for ps in row if ps is not None]
-        max_period = tuple(max(p[k] for p in periods)
+        # the plan's block lattice must tile every entry's period exactly:
+        # per-axis lcm (a max would cut couplings of a period that does not
+        # divide it, silently inverting a different operator than the IR's
+        # block-diagonal restriction — per-field block shapes like (2,1)
+        # and (3,1) hit this)
+        lcm_period = tuple(reduce(math.lcm, (p[k] for p in periods), 1)
                            for k in range(len(periods[0])))
         all_diagonal = all(ps is None or periodic.is_diagonal(ps)
                            for row in stencils for ps in row)
-        if all_diagonal and max_period == (1,) * len(max_period):
+        if all_diagonal and lcm_period == (1,) * len(lcm_period):
             return self._pointwise_collective_inverse(op, fields)
         shape = tuple(op.entries[0][0].grid.size)
-        plan = get_block_solve_plan(stencils, max_period, shape)
+        plan = get_block_solve_plan(stencils, lcm_period, shape)
         return plan.apply(fields)
 
     def _dense_solve(self, L, fields):

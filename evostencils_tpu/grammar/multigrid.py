@@ -308,8 +308,12 @@ def add_level(pset: PrimitiveSet, terminals: Terminals, types: Types,
 
 def add_block_shapes(pset, n_fields, grid, types, dimension,
                      maximum_local_system_size):
-    """Uniform per-field block-shape terminals with
-    n_fields < total unknowns <= maximum_local_system_size."""
+    """Per-field block-shape terminals: every combination of per-field
+    block lattices with n_fields < total unknowns <=
+    maximum_local_system_size (reference grammar/multigrid.py:388-407 —
+    fields of a system may carry different block shapes, e.g. elasticity
+    (1,2)/(2,1)).  Uniform combinations keep the compact ``bs_AxB`` name;
+    mixed ones join the per-field shapes with ``_``."""
     shapes = []
 
     def gen(shape, remaining_dims):
@@ -320,12 +324,16 @@ def add_block_shapes(pset, n_fields, grid, types, dimension,
             gen(shape + [k], remaining_dims - 1)
 
     gen([], dimension)
-    for shape in shapes:
-        total = n_fields * reduce(lambda a, b: a * b, shape, 1)
-        if n_fields < total <= maximum_local_system_size:
-            block_shapes = tuple(shape for _ in range(n_fields))
-            name = "bs_" + "x".join(str(s) for s in shape)
-            pset.addTerminal(block_shapes, types.BlockShape, name)
+    for combo in itertools.product(shapes, repeat=n_fields):
+        total = sum(reduce(lambda a, b: a * b, shape, 1) for shape in combo)
+        if not n_fields < total <= maximum_local_system_size:
+            continue
+        if all(shape == combo[0] for shape in combo):
+            name = "bs_" + "x".join(str(s) for s in combo[0])
+        else:
+            name = "bs_" + "_".join(
+                "x".join(str(s) for s in shape) for shape in combo)
+        pset.addTerminal(tuple(combo), types.BlockShape, name)
 
 
 def generate_primitive_set(approximation, rhs, level_contexts,
