@@ -5,6 +5,11 @@ Solves the reference 2D Poisson problem (V-cycle, RB-GS omega=1.15,
 on the available accelerator and reports fine-grid degrees of freedom
 processed per second through full V-cycles.
 
+The timed loop is ``compiler.solve.make_cycle_loop`` — the production path
+where consecutive cycles share one Pallas pass at the finest level (the
+up-leg of cycle k fuses with the down-leg of cycle k+1), not the plain
+per-cycle ``lowered.step``.
+
 ``vs_baseline`` prices the *same cycle expression* on the reference's own
 roofline machine model (6-core AVX2 CPU, 249.6 GFLOP/s, 45.8 GB/s —
 reference scripts/optimize.py:79-84) via prediction.performance and reports
@@ -14,6 +19,7 @@ Prints ONE JSON line on stdout; diagnostics go to stderr.
 """
 
 import json
+import pathlib
 import sys
 import time
 
@@ -23,16 +29,17 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    cache_dir = str(pathlib.Path(__file__).resolve().parent / ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from evostencils_tpu.problems.poisson import poisson_2d
     from evostencils_tpu.compiler.cycles import v_cycle
     from evostencils_tpu.compiler.lower import lower_cycle
-    from evostencils_tpu.compiler.solve import make_solver
+    from evostencils_tpu.compiler.solve import make_solver, make_cycle_loop
     from evostencils_tpu.ir import partitioning as part
     from evostencils_tpu.prediction.performance import (
-        PerformanceEvaluator, REFERENCE_CPU)
+        PerformanceEvaluator, REFERENCE_CPU, TPU_V5E)
 
     dev = jax.devices()[0]
     print(f"[bench] device: {dev}", file=sys.stderr)
@@ -49,17 +56,20 @@ def main():
     u0 = tuple(jnp.zeros_like(x) for x in b)
     omegas = jnp.asarray(lowered.default_omegas, dtype=jnp.float32)
 
-    # --- throughput: K cycles, no convergence checks in the loop ------------
+    # --- throughput: K cycles through the production cycle loop -------------
     # NOTE: the axon relay has ~25-30 ms per-call latency and async
-    # dispatch; a scalar checksum return forces real execution, K amortizes
-    # the RPC (production solve loops likewise run many cycles per launch).
+    # dispatch; a scalar checksum fetch forces real execution
+    # (block_until_ready does NOT synchronize through the relay), K
+    # amortizes the RPC (production solve loops likewise run many cycles
+    # per launch).  config.loop_fusion decides whether the loop fuses
+    # cycle k's up-leg with cycle k+1's down-leg — off on v5e where the
+    # A/B (scripts/tpu_ab_fusedloop.py) measured it net-slower.
     K = 200
+    loop = make_cycle_loop(lowered, K)
 
     def k_cycles(u, b_fields, om):
-        def body(u, _):
-            return lowered.step(u, b_fields, om), None
-        u, _ = jax.lax.scan(body, u, None, length=K)
-        return sum(jnp.sum(x) for x in u)
+        out = loop(u, b_fields, om)
+        return sum(jnp.sum(x) for x in out)
 
     run = jax.jit(k_cycles)
     t0 = time.perf_counter()
@@ -68,15 +78,32 @@ def main():
           file=sys.stderr)
 
     times = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
         float(run(u0, b, omegas))
         times.append(time.perf_counter() - t0)
     cycle_time = min(times) / K
     n_dof = int(np.prod(problem.finest_grid[0].size))
     dof_per_s = n_dof / cycle_time
-    print(f"[bench] {n_dof} DoF, cycle {cycle_time * 1e3:.2f} ms, "
-          f"{dof_per_s:.3e} DoF/s", file=sys.stderr)
+    spread = (max(times) - min(times)) / min(times)
+    print(f"[bench] {n_dof} DoF, cycle {cycle_time * 1e3:.3f} ms, "
+          f"{dof_per_s:.3e} DoF/s (sample spread {spread * 100:.1f}%)",
+          file=sys.stderr)
+
+    # --- roofline accounting ------------------------------------------------
+    # unfused op-sum on the v5e model (every operation pays its own
+    # read+write round trip)
+    v5e_unfused = PerformanceEvaluator(TPU_V5E).estimate_runtime(cycle)
+    # fused-pass lower bound: the finest level is two Pallas passes per
+    # cycle (down-leg, up-leg), each streaming u and b once and writing u
+    # once -> 5 fine-grid arrays of HBM traffic; coarser levels likewise
+    # but on 1/4 the points (2D), bounded by the geometric series 4/3.
+    fused_floor = (5 * n_dof * 4 / TPU_V5E.bandwidth) * (4.0 / 3.0)
+    print(f"[bench] v5e roofline: unfused {v5e_unfused * 1e3:.3f} ms, "
+          f"fused-pass floor {fused_floor * 1e3:.3f} ms -> achieved "
+          f"{fused_floor / cycle_time * 100:.0f}% of fused SoL, "
+          f"{v5e_unfused / cycle_time * 100:.0f}% of unfused roofline",
+          file=sys.stderr)
 
     # --- convergence sanity: f32 solve to 1e-5 (above the f32 floor) --------
     solver = make_solver(lowered, max_iterations=20, target_reduction=1e-5)

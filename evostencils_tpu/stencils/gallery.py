@@ -27,6 +27,25 @@ class StencilGenerator:
         raise NotImplementedError
 
 
+class ShiftedOperatorGenerator(StencilGenerator):
+    """``inner + shift * I``: constant diagonal shift of another generator.
+
+    Used for Newton/Picard preconditioners of nonlinear problems (the
+    linearized operator L + g'(u*) I around a reference state) and for
+    shifted-Laplace-style preconditioning of indefinite problems."""
+
+    def __init__(self, inner: StencilGenerator, shift: float):
+        self.inner = inner
+        self.shift = shift
+
+    def generate_stencil(self, grid) -> Stencil:
+        st = self.inner.generate_stencil(grid)
+        d = dict(st.entries)
+        center = (0,) * st.dimension
+        d[center] = d.get(center, 0.0) + self.shift
+        return Stencil(sorted(d.items()), st.dimension)
+
+
 class Poisson1D(StencilGenerator):
     def generate_stencil(self, grid) -> Stencil:
         (h,) = grid.spacing
