@@ -659,10 +659,34 @@ class _Lowering:
             return None
         parts = self._star_smoother_parts(cycle, x)
         if parts is None:
-            if mesh is not None:
-                return None
             red_black = cycle.partitioning is part.RedBlack
             if not red_black and cycle.partitioning is not part.Single:
+                return None
+            if mesh is not None:
+                # halo-pipeline variants for the non-constant-star
+                # smoothers (weak spot in round 1: these fell back to
+                # GSPMD with no overlapped exchange)
+                from ..parallel import halo
+                if not halo.supports(mesh, x[0]) or x[0].ndim != 2:
+                    return None
+                cparts = self._cx_smoother_parts(cycle, x)
+                if cparts is not None:
+                    vals, b = cparts
+                    return (halo.sweep(mesh, x[0], b, omega, vals,
+                                       1.0 / vals[0],
+                                       red_black=red_black),)
+                vparts = self._var_smoother_parts(cycle, x)
+                if vparts is not None:
+                    stack, b = vparts
+                    om = jnp.asarray(omega, x[0].dtype)
+                    return (halo.sweep_var(mesh, x[0], b, om, stack,
+                                           red_black=red_black),)
+                sparts = self._sys_smoother_parts(cycle, x)
+                if sparts is not None:
+                    coeffs, minv, b = sparts
+                    om = jnp.asarray(omega, x[0].dtype)
+                    return halo.sweep_sys(mesh, x, b, om, coeffs, minv,
+                                          red_black=red_black)
                 return None
             from ..config import pallas_interpret
             vparts = self._var_smoother_parts(cycle, x)

@@ -44,12 +44,13 @@ def _mesh_shape_2d(mesh: Mesh) -> Tuple[int, int]:
 
 
 def supports(mesh: Mesh, u) -> bool:
-    """Sharded sweeps need a 2D/3D real grid with mesh axes named x/y and
+    """Sharded sweeps need a 2D/3D grid (real or complex — XLA lowers
+    complex collectives to (re, im) pairs) with mesh axes named x/y and
     a large-enough local block (coarse levels run replicated).  3D grids
     shard their first two axes over the mesh; the last (vector-lane) axis
     stays local — splitting it would fight the TPU register layout."""
     from ..config import config
-    if u.ndim not in (2, 3) or jnp.iscomplexobj(u):
+    if u.ndim not in (2, 3):
         return False
     if not {"x", "y"} <= set(mesh.axis_names):
         return False
@@ -59,11 +60,20 @@ def supports(mesh: Mesh, u) -> bool:
             and m // ny >= config.shard_min_local_size)
 
 
+def _edge(c, idx):
+    """Coefficient slice for the edge fix-up: scalars broadcast, arrays
+    (variable coefficients, sharded like u) index their local edge."""
+    return c[idx] if hasattr(c, "ndim") and c.ndim == 2 else c
+
+
 def _half_sweep(u, b, om, *, vals, dinv, parity, n_global, local_shape,
                 mesh_shape):
     """One masked damped-Jacobi half-sweep on the local block (inside
     shard_map).  parity: -1 full sweep, 0 red, 1 black (global node
-    parity, matching ops/pallas/rbgs.py)."""
+    parity, matching ops/pallas/rbgs.py).  Coefficients in ``vals`` (and
+    ``dinv``) may be python scalars — real or complex constant stencils —
+    or local (nl, ml) blocks of sharded coefficient fields
+    (variable-coefficient operators)."""
     c0, c_up, c_down, c_left, c_right = vals
     nl, ml = local_shape
     nx, ny = mesh_shape
@@ -86,10 +96,11 @@ def _half_sweep(u, b, om, *, vals, dinv, parity, n_global, local_shape,
     au = c0 * u + c_up * up + c_down * down + c_left * left + c_right * right
 
     # edge fix-up (waits on the halos)
-    au = au.at[0, :].add(c_up * up_halo[0, :])
-    au = au.at[-1, :].add(c_down * down_halo[0, :])
-    au = au.at[:, 0].add(c_left * left_halo[:, 0])
-    au = au.at[:, -1].add(c_right * right_halo[:, 0])
+    au = au.at[0, :].add(_edge(c_up, 0) * up_halo[0, :])
+    au = au.at[-1, :].add(_edge(c_down, -1) * down_halo[0, :])
+    au = au.at[:, 0].add(_edge(c_left, (slice(None), 0)) * left_halo[:, 0])
+    au = au.at[:, -1].add(_edge(c_right, (slice(None), -1))
+                          * right_halo[:, 0])
 
     ix = lax.axis_index("x")
     iy = lax.axis_index("y")
@@ -190,3 +201,147 @@ def sweep(mesh: Mesh, u, b, om, vals, dinv, *, red_black: bool):
     else:
         up_new = run(-1)(up, bp, om)
     return up_new[tuple(slice(0, s) for s in n_global)]
+
+
+def sweep_var(mesh: Mesh, u, b, om, stack, *, red_black: bool):
+    """Variable-coefficient smoother sweep under the halo pipeline: the
+    (5, n, m) coefficient stack (ops/pallas/rbgs_var.five_point_stack
+    order: center, -x, +x, -y, +y) shards exactly like u, so each
+    device's stencil coefficients are local and only u's one-cell halo
+    rides the ppermutes."""
+    nx, ny = _mesh_shape_2d(mesh)
+    n_global = u.shape
+    up, bp = _padded(u, nx, ny), _padded(b, nx, ny)
+    n, m = n_global
+    cp = jnp.pad(stack, ((0, 0), (0, -n % nx), (0, -m % ny)))
+    local_shape = (up.shape[0] // nx, up.shape[1] // ny)
+    spec = P("x", "y")
+    cspec = P(None, "x", "y")
+
+    def kernel(u_l, b_l, c_l, om_l, *, parity):
+        vals = tuple(c_l[k] for k in range(5))
+        safe = jnp.where(c_l[0] != 0, c_l[0], 1.0)   # padded ring has c0=0
+        dinv = jnp.where(c_l[0] != 0, 1.0 / safe, 0.0)
+        return _half_sweep(u_l, b_l, om_l, vals=vals, dinv=dinv,
+                           parity=parity, n_global=n_global,
+                           local_shape=local_shape, mesh_shape=(nx, ny))
+
+    def run(parity):
+        return shard_map(
+            functools.partial(kernel, parity=parity), mesh=mesh,
+            in_specs=(spec, spec, cspec, P()), out_specs=spec)
+
+    if red_black:
+        up_new = run(0)(up, bp, cp, om)
+        up_new = run(1)(up_new, bp, cp, om)
+    else:
+        up_new = run(-1)(up, bp, cp, om)
+    return up_new[:n, :m]
+
+
+def _ghost_ring(u, nx, ny):
+    """Local block extended by a one-cell ghost ring, corners included:
+    row halos first, then column halos OF THE EXTENDED BLOCK so the
+    corner ghost arrives via the neighbor's already-placed row halo (the
+    standard two-phase exchange for 9-point stencils).  Missing
+    neighbors contribute zeros (homogeneous-Dirichlet ghosts)."""
+    nl, ml = u.shape
+    up_halo = lax.ppermute(u[-1:, :], "x", [(i, i + 1) for i in range(nx - 1)])
+    down_halo = lax.ppermute(u[:1, :], "x", [(i + 1, i) for i in range(nx - 1)])
+    ug = jnp.zeros((nl + 2, ml + 2), u.dtype)
+    ug = ug.at[1:-1, 1:-1].set(u)
+    ug = ug.at[0, 1:-1].set(up_halo[0])
+    ug = ug.at[-1, 1:-1].set(down_halo[0])
+    left_halo = lax.ppermute(ug[:, -2:-1], "y",
+                             [(j, j + 1) for j in range(ny - 1)])
+    right_halo = lax.ppermute(ug[:, 1:2], "y",
+                              [(j + 1, j) for j in range(ny - 1)])
+    ug = ug.at[:, :1].set(left_halo)
+    ug = ug.at[:, -1:].set(right_halo)
+    return ug
+
+
+_NINE_OFFSETS = ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1),
+                 (-1, -1), (-1, 1), (1, -1), (1, 1))
+
+
+def _sys_half_sweep(fields, b_fields, om, *, coeffs, minv, parity, n_global,
+                    local_shape, mesh_shape):
+    """Coupled FxF 9-point half-sweep on ghost-ring-extended local blocks
+    (corner couplings of e.g. elasticity need the two-phase exchange)."""
+    F = len(fields)
+    nl, ml = local_shape
+    nx, ny = mesh_shape
+    n, m = n_global
+    ghosts = [_ghost_ring(f, nx, ny) for f in fields]
+
+    ix = lax.axis_index("x")
+    iy = lax.axis_index("y")
+    row_ids = ix * nl + lax.broadcasted_iota(jnp.int32, (nl, ml), 0)
+    col_ids = iy * ml + lax.broadcasted_iota(jnp.int32, (nl, ml), 1)
+    valid = (row_ids < n) & (col_ids < m)
+
+    residuals = []
+    for i in range(F):
+        au = None
+        for j in range(F):
+            c = coeffs[i][j]
+            for (di, dj), cv in zip(_NINE_OFFSETS, c):
+                if cv == 0.0:
+                    continue
+                term = cv * ghosts[j][1 + di:1 + di + nl,
+                                      1 + dj:1 + dj + ml]
+                au = term if au is None else au + term
+        r = b_fields[i] - (au if au is not None
+                           else jnp.zeros_like(b_fields[i]))
+        residuals.append(r)
+
+    out = []
+    for i in range(F):
+        upd = None
+        for j in range(F):
+            if minv[i][j] == 0.0:
+                continue
+            term = minv[i][j] * residuals[j]
+            upd = term if upd is None else upd + term
+        upd = om * (upd if upd is not None
+                    else jnp.zeros_like(residuals[i]))
+        if parity >= 0:
+            upd = jnp.where(((row_ids + col_ids) % 2) == parity, upd, 0.0)
+        out.append(jnp.where(valid, fields[i] + upd, fields[i]))
+    return tuple(out)
+
+
+def sweep_sys(mesh: Mesh, fields, b_fields, om, coeffs, minv, *,
+              red_black: bool):
+    """Coupled system smoother sweep (FxF constant 9-point entries, e.g.
+    linear elasticity) under the halo pipeline.  ``coeffs[i][j]`` is the
+    9-tuple of entry (i,j) in ops/pallas/rbgs_sys.NINE_OFFSETS order;
+    ``minv`` the constant FxF point-solve matrix."""
+    nx, ny = _mesh_shape_2d(mesh)
+    n_global = fields[0].shape
+    n, m = n_global
+    fp = tuple(_padded(f, nx, ny) for f in fields)
+    bp = tuple(_padded(f, nx, ny) for f in b_fields)
+    local_shape = (fp[0].shape[0] // nx, fp[0].shape[1] // ny)
+    F = len(fields)
+    spec = P("x", "y")
+
+    def kernel(*args, parity):
+        fs, bs, om_l = args[:F], args[F:2 * F], args[2 * F]
+        return _sys_half_sweep(fs, bs, om_l, coeffs=coeffs, minv=minv,
+                               parity=parity, n_global=n_global,
+                               local_shape=local_shape, mesh_shape=(nx, ny))
+
+    def run(parity):
+        return shard_map(
+            functools.partial(kernel, parity=parity), mesh=mesh,
+            in_specs=(spec,) * (2 * F) + (P(),), out_specs=(spec,) * F)
+
+    cur = fp
+    if red_black:
+        cur = run(0)(*cur, *bp, om)
+        cur = run(1)(*cur, *bp, om)
+    else:
+        cur = run(-1)(*cur, *bp, om)
+    return tuple(f[:n, :m] for f in cur)

@@ -180,3 +180,179 @@ def test_3d_vcycle_with_halo_pipeline_matches(mesh):
     finally:
         config.shard_map_mesh = None
         config.shard_min_local_size = old_min
+
+
+def test_sharded_complex_sweep_matches_reference(mesh):
+    """Complex constant-star sweeps (Helmholtz shifted-Laplace smoother)
+    through the same halo pipeline — collectives carry complex."""
+    vals = (4.0 - 0.5j, -1.0 + 0.02j, -1.0 + 0.02j, -1.0 - 0.01j,
+            -1.0 - 0.01j)
+    rng = np.random.default_rng(7)
+    n = 2 ** 6 - 1
+    u = jnp.asarray(rng.standard_normal((n, n))
+                    + 1j * rng.standard_normal((n, n)))
+    b = jnp.asarray(rng.standard_normal((n, n))
+                    + 1j * rng.standard_normal((n, n)))
+    om = 0.6
+    dinv = 1.0 / vals[0]
+
+    def ref_half(u, parity):
+        up = jnp.pad(u, 1)
+        au = sum(v * up[1 + o0:1 + o0 + n, 1 + o1:1 + o1 + n]
+                 for v, (o0, o1) in zip(
+                     vals, [(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)]))
+        ii = jnp.arange(n)
+        mask = ((ii[:, None] + ii[None, :]) % 2) == parity
+        return u + jnp.where(mask, om * dinv * (b - au), 0.0)
+
+    want = ref_half(ref_half(u, 0), 1)
+    got = halo.sweep(mesh, u, b, om, vals, dinv, red_black=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_var_sweep_matches_reference(mesh):
+    """Variable-coefficient sweeps: the coefficient stack shards like u
+    and each device reads only its local coefficients."""
+    rng = np.random.default_rng(8)
+    n = 2 ** 6 - 1
+    stack = np.zeros((5, n, n))
+    stack[0] = 4.0 + rng.uniform(0, 1, (n, n))          # center
+    for k in range(1, 5):
+        stack[k] = -1.0 + 0.2 * rng.uniform(-1, 1, (n, n))
+    stack_j = jnp.asarray(stack)
+    u = jnp.asarray(rng.standard_normal((n, n)))
+    b = jnp.asarray(rng.standard_normal((n, n)))
+    om = jnp.asarray(0.9, u.dtype)
+
+    def ref_half(u, parity):
+        up = jnp.pad(u, 1)
+        au = sum(stack_j[k] * up[1 + o0:1 + o0 + n, 1 + o1:1 + o1 + n]
+                 for k, (o0, o1) in enumerate(
+                     [(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)]))
+        ii = jnp.arange(n)
+        mask = ((ii[:, None] + ii[None, :]) % 2) == parity
+        return u + jnp.where(mask, om * (b - au) / stack_j[0], 0.0)
+
+    want = ref_half(ref_half(u, 0), 1)
+    got = halo.sweep_var(mesh, u, b, om, stack_j, red_black=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-12, atol=1e-12)
+
+    want_j = u + om * (b - sum(
+        stack_j[k] * jnp.pad(u, 1)[1 + o0:1 + o0 + n, 1 + o1:1 + o1 + n]
+        for k, (o0, o1) in enumerate(
+            [(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)]))) / stack_j[0]
+    got_j = halo.sweep_var(mesh, u, b, om, stack_j, red_black=False)
+    np.testing.assert_allclose(np.asarray(got_j), np.asarray(want_j),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_sys_sweep_matches_reference(mesh):
+    """Coupled FxF 9-point sweeps (elasticity): corner couplings need the
+    two-phase ghost-ring exchange."""
+    from evostencils_tpu.ops.pallas.rbgs_sys import NINE_OFFSETS
+    rng = np.random.default_rng(9)
+    n = 2 ** 6 - 1
+    # 2x2 system with full 9-point entries, diagonally dominant centers
+    coeffs = []
+    for i in range(2):
+        row = []
+        for j in range(2):
+            c = rng.uniform(-0.3, 0.3, 9)
+            c[0] = 8.0 if i == j else 0.5
+            row.append(tuple(float(v) for v in c))
+        coeffs.append(tuple(row))
+    coeffs = tuple(coeffs)
+    centers = np.array([[coeffs[i][j][0] for j in range(2)]
+                        for i in range(2)])
+    minv = np.linalg.inv(centers)
+    fields = tuple(jnp.asarray(rng.standard_normal((n, n)))
+                   for _ in range(2))
+    bs = tuple(jnp.asarray(rng.standard_normal((n, n))) for _ in range(2))
+    om = jnp.asarray(0.8)
+
+    def ref_half(fs, parity):
+        rs = []
+        for i in range(2):
+            au = 0.0
+            for j in range(2):
+                up = jnp.pad(fs[j], 1)
+                au = au + sum(
+                    v * up[1 + o0:1 + o0 + n, 1 + o1:1 + o1 + n]
+                    for v, (o0, o1) in zip(coeffs[i][j], NINE_OFFSETS))
+            rs.append(bs[i] - au)
+        ii = jnp.arange(n)
+        mask = ((ii[:, None] + ii[None, :]) % 2) == parity
+        out = []
+        for i in range(2):
+            upd = om * sum(minv[i][j] * rs[j] for j in range(2))
+            out.append(fs[i] + jnp.where(mask, upd, 0.0))
+        return tuple(out)
+
+    want = ref_half(ref_half(fields, 0), 1)
+    got = halo.sweep_sys(mesh, fields, bs, om, coeffs, minv,
+                         red_black=True)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_var_vcycle_with_halo_pipeline_matches(mesh):
+    """Variable-coefficient V-cycle: mesh lowering must equal replicated."""
+    from evostencils_tpu.problems.poisson import poisson_2d_variable
+    problem = poisson_2d_variable(max_level=7, min_level=4)
+
+    def build():
+        cycle = v_cycle(problem.level_contexts, problem.rhs_entity,
+                        pre_smoothing=2, post_smoothing=1, omega=1.0,
+                        partitioning=part.RedBlack,
+                        coarse_operator=problem.coarsest_operator)
+        return lower_cycle(cycle, problem.approximation, problem.rhs_entity)
+
+    b = problem.build_rhs()
+    u0 = tuple(jnp.zeros_like(x) for x in b)
+    lowered_ref = build()
+    om = jnp.asarray(lowered_ref.default_omegas)
+    ref = lowered_ref.step(u0, b, om)
+
+    config.shard_map_mesh = mesh
+    try:
+        lowered_sh = build()
+        got = lowered_sh.step(u0, b, om)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                                   rtol=1e-12, atol=1e-12)
+    finally:
+        config.shard_map_mesh = None
+
+
+def test_elasticity_vcycle_with_halo_pipeline_matches(mesh):
+    """System (elasticity) V-cycle: mesh lowering must equal replicated."""
+    from evostencils_tpu.problems.elasticity import linear_elasticity_2d
+    from evostencils_tpu.ir import smoother
+
+    problem = linear_elasticity_2d(max_level=7, min_level=5)
+
+    def build():
+        cycle = v_cycle(problem.level_contexts, problem.rhs_entity,
+                        pre_smoothing=2, post_smoothing=1, omega=0.8,
+                        partitioning=part.RedBlack,
+                        smoother_factory=smoother.generate_collective_jacobi,
+                        coarse_operator=problem.coarsest_operator)
+        return lower_cycle(cycle, problem.approximation, problem.rhs_entity)
+
+    b = problem.build_rhs()
+    u0 = tuple(jnp.zeros_like(x) for x in b)
+    lowered_ref = build()
+    om = jnp.asarray(lowered_ref.default_omegas)
+    ref = lowered_ref.step(u0, b, om)
+
+    config.shard_map_mesh = mesh
+    try:
+        lowered_sh = build()
+        got = lowered_sh.step(u0, b, om)
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=1e-12, atol=1e-12)
+    finally:
+        config.shard_map_mesh = None
