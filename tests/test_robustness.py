@@ -47,3 +47,36 @@ def test_helmholtz_k_doubling_variants_build():
     assert r["best_individual"] is not None
     # the robustness evaluators were actually constructed for the run
     assert len(opt._robustness) == 2
+
+
+def test_chunked_run_keeps_robustness_variants():
+    """Round-1 gap: levels_per_run < total levels silently dropped the
+    robustness variants.  Chunked runs now keep a per-variant chain of
+    finished-chunk cycles and evaluate every chunk's candidates against
+    every variant (optimization/program.py variant_chains)."""
+    base = poisson_2d(max_level=4, min_level=1)
+    variant = poisson_2d(max_level=4, min_level=1)
+    opt = Optimizer(base, robustness_problems=[variant],
+                    checkpoint_directory_path="/tmp/rb4",
+                    rng=random.Random(13))
+    seen = []
+    orig = Optimizer._apply_robustness
+
+    def spy(self, individuals, values_list):
+        out = orig(self, individuals, values_list)
+        seen.append((len(self._robustness), len(individuals)))
+        return out
+
+    Optimizer._apply_robustness = spy
+    try:
+        r = opt.evolutionary_optimization(mu_=4, lambda_=4, generations=2,
+                                          levels_per_run=2, verbose=False)
+    finally:
+        Optimizer._apply_robustness = orig
+    assert r["best_individual"] is not None
+    v = r["best_individual"].fitness.values
+    assert all(np.isfinite(x) for x in v)
+    # the variant evaluator was present for EVERY chunk's evaluations
+    assert seen and all(n_var == 1 for n_var, _ in seen)
+    # variant chains were extended alongside the base chain
+    assert len(r["chain"]) == 1
