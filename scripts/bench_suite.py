@@ -107,6 +107,30 @@ def main():
                                    coarse_operator=p.coarsest_operator),
              f32, "nonlinear FAS, Newton-Jacobi 0.8")
 
+    import math
+    from evostencils_tpu.compiler.solve import make_solver
+
+    def converge(low, b, target=1e-5, max_iter=60):
+        """f32-reachable solve: iterations + asymptotic rho, and the
+        extrapolated iteration count to the reference's deep target
+        (log(eps)/log(rho), evaluation/evaluator.py semantics)."""
+        import jax
+        import jax.numpy as jnp
+        u0 = tuple(jnp.zeros_like(x) for x in b)
+        om = jnp.asarray(low.default_omegas,
+                         np.complex64 if b[0].dtype == np.complex64
+                         else np.float32)
+        run = make_solver(low, max_iterations=max_iter,
+                          target_reduction=target)
+        u, k, hist = run(u0, b, om)
+        hist = np.asarray(jax.device_get(hist))
+        k = int(k)
+        kk = max(min(k, 6), 1)
+        rho = float((hist[kk] / hist[0]) ** (1.0 / kk))
+        deep = (math.log(1e-12) / math.log(rho)
+                if 0 < rho < 1 else float("inf"))
+        return k, rho, deep
+
     results = {}
     for name, low, b, n_dof, note in cases:
         om_dtype = (np.float32 if b[0].dtype != np.complex64
@@ -117,10 +141,19 @@ def main():
             print(f"{name}: FAILED {type(e).__name__}: {str(e)[:140]}",
                   flush=True)
             continue
+        try:
+            iters, rho, deep = converge(low, b)
+        except Exception as e:
+            print(f"{name}: convergence FAILED {type(e).__name__}: "
+                  f"{str(e)[:140]}", flush=True)
+            iters, rho, deep = -1, float("nan"), float("nan")
         dofs = n_dof / t
-        results[name] = {"cycle_ms": t * 1e3, "dof_per_s": dofs}
+        results[name] = {"cycle_ms": t * 1e3, "dof_per_s": dofs,
+                         "iters_1e5": iters, "rho": rho,
+                         "extrapolated_iters_1e12": deep}
         print(f"{name:28s} {n_dof:>12d} DoF  {t*1e3:8.3f} ms/cycle  "
-              f"{dofs:.3e} DoF/s  (compile {comp:.0f}s)  # {note}",
+              f"{dofs:.3e} DoF/s  rho={rho:.3f} it(1e-5)={iters} "
+              f"it(1e-12)~{deep:.0f}  (compile {comp:.0f}s)  # {note}",
               flush=True)
 
     print(json.dumps(results))
