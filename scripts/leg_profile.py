@@ -1,0 +1,145 @@
+"""Per-leg roofline attribution of the headline V-cycle on the device.
+
+Times each fine-level leg of the fused V(2,1) in isolation at the bench
+size (4095^2 f32) and reports achieved HBM bandwidth vs the v5e roofline
+(819 GB/s), pinning where the cycle's time goes:
+
+* down-leg kernel  (2 pre-smooth sweeps + residual + row restriction)
+* up-leg kernel    (row prolongation + correction + post-smooth)
+* inter-iteration mega-kernel (up-leg of k + down-leg of k+1)
+* column transfers (lane-axis restriction/prolongation) per strategy
+* the full coarse tail (everything below the finest level)
+* the complete lowered.step for reference
+
+Run alone (single-client TPU tunnel):
+    PYTHONPATH=/root/.axon_site:/root/repo python scripts/leg_profile.py
+"""
+
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+HBM_BPS = 819e9   # v5e
+
+
+def bench(fn, args, K=50, reps=3):
+    """min ms per call; a scalar fetch closes each timing window."""
+    import jax
+    import jax.numpy as jnp
+
+    def k_times(*a):
+        def body(carry, _):
+            out = fn(*a)
+            leaves = jax.tree_util.tree_leaves(out)
+            s = sum(jnp.sum(jnp.real(x)) + carry * 1e-30 for x in leaves)
+            return s, None
+        s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+        return s
+
+    run = jax.jit(k_times)
+    float(run(*args))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / K
+
+
+def row(name, t_s, bytes_moved):
+    gbs = bytes_moved / t_s / 1e9
+    print(f"[leg] {name:34s} {t_s * 1e3:8.3f} ms  {gbs:7.1f} GB/s  "
+          f"{gbs * 1e9 / HBM_BPS * 100:5.1f}% of HBM roofline",
+          file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    cache = str(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from evostencils_tpu.problems.poisson import poisson_2d
+    from evostencils_tpu.compiler.cycles import v_cycle
+    from evostencils_tpu.compiler import lower as L
+    from evostencils_tpu.compiler import solve as S
+    from evostencils_tpu.ir import partitioning as part
+    from evostencils_tpu.ops.pallas import transfer as pt
+    from evostencils_tpu import config as cfg
+    from evostencils_tpu.config import pallas_interpret
+    interp = pallas_interpret()
+
+    print(f"[leg] device: {jax.devices()[0]}", file=sys.stderr)
+
+    max_level, min_level = 12, 5
+    problem = poisson_2d(max_level=max_level, min_level=min_level)
+    problem.dtype = np.float32
+    cycle = v_cycle(problem.level_contexts, problem.rhs_entity,
+                    pre_smoothing=2, post_smoothing=1, omega=1.15,
+                    partitioning=part.RedBlack,
+                    coarse_operator=problem.coarsest_operator)
+    lowered = L.lower_cycle(cycle, problem.approximation, problem.rhs_entity)
+    plan = L.extract_fine_leg_plan(lowered.expression)
+    assert plan is not None, "fine-leg plan did not match"
+
+    n = 2 ** max_level - 1
+    m = n
+    nc = (n - 1) // 2
+    B = 4  # f32 bytes
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((n, m)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((n, m)), jnp.float32)
+    rr = jnp.asarray(rng.standard_normal((nc, m)), jnp.float32)
+    ch = jnp.asarray(rng.standard_normal((nc, m)), jnp.float32)
+    rc = jnp.asarray(rng.standard_normal((nc, nc)), jnp.float32)
+    om = jnp.float32(1.15)
+
+    # --- fine-level Pallas legs --------------------------------------------
+    t = bench(lambda u_, b_: pt.presmooth_residual_rowrestrict(
+        u_, b_, [om, om], plan.vals, plan.r_taps[0], interpret=interp), (u, b))
+    # streams: read u, read b, write u, write rr(half)
+    row("down-leg (2xRB+res+rowR)", t, (3 * n * m + nc * m) * B)
+
+    t = bench(lambda u_, c_, b_: pt.prolong_correct_postsmooth(
+        u_, c_, b_, [om, om], plan.vals, plan.p_taps[0], interpret=interp), (u, ch, b))
+    row("up-leg (rowP+corr+1xRB)", t, (3 * n * m + nc * m) * B)
+
+    t = bench(lambda u_, c_, b_: pt.upleg_downleg_fused(
+        u_, c_, b_, [om, om, om, om], plan.vals, plan.p_taps[0],
+        plan.r_taps[0], interpret=interp), (u, ch, b))
+    row("mega (up-leg k + down-leg k+1)", t, (3 * n * m + 2 * nc * m) * B)
+
+    # --- column transfers per strategy -------------------------------------
+    for mode in ("matmul", "conv", "transpose", "banded"):
+        cfg.config.column_transfers = mode
+        try:
+            t = bench(lambda r_: L._col_restrict(r_, plan.r_taps[1], m),
+                      (rr,))
+            row(f"col-restrict[{mode}]", t, (nc * m + nc * nc) * B)
+            t = bench(lambda e_: L._col_prolong(e_, plan.p_taps[1], m),
+                      (rc,))
+            row(f"col-prolong[{mode}]", t, (nc * nc + nc * m) * B)
+        except Exception as e:
+            print(f"[leg] col[{mode}] FAILED: {str(e)[:120]}",
+                  file=sys.stderr)
+    cfg.config.column_transfers = None
+
+    # --- coarse tail and full step -----------------------------------------
+    tail = S.make_coarse_tail(lowered, plan)
+    omv = jnp.asarray(lowered.default_omegas, jnp.float32)
+    bt = (b,)
+    ut = (u,)
+    t = bench(lambda r_: tail(r_, ut, bt, omv), (rc,))
+    row("coarse tail (levels below fine)", t, 2 * (4.0 / 3.0) *
+        (3 * nc * nc + nc * nc) * B)   # rough: geometric series below fine
+
+    t = bench(lambda u_, b_: lowered.step((u_,), (b_,), omv), (u, b))
+    row("full lowered.step (1 V-cycle)", t, (2 * (3 * n * m + nc * m)
+                                             + 2 * nc * m) * B)
+
+
+if __name__ == "__main__":
+    main()
