@@ -741,6 +741,61 @@ class Optimizer:
 
     # -- re-evaluation of stored individuals ---------------------------------
 
+    def evaluate_chunked_program(self, chunk_strings: List[str],
+                                 levels_per_run: Optional[int] = None,
+                                 maximum_local_system_size=8,
+                                 enable_partitioning=True):
+        """Rebuild a level-chunked run's solver from its per-chunk grammar
+        strings (finest chunk first, ``result['chunk_grammar_strings']``)
+        and re-measure the FULL composed program on the finest grid —
+        the stored-solver analogue of the reference re-running a complete
+        multi-run solver program (reference optimization/program.py:904-929
+        over the spliced program of :810-899)."""
+        problem = self.problem
+        levels = problem.max_level - problem.min_level
+        if levels_per_run is None:
+            levels_per_run = -(-levels // len(chunk_strings))
+        contexts = problem.level_contexts
+        FAS = problem.nonlinear_term is not None
+        from ..compiler.lower import ChainLink
+
+        chain: List[ChainLink] = []
+        last = None
+        for ci, i in enumerate(range(0, levels, levels_per_run)):
+            chunk_contexts = contexts[i:i + levels_per_run]
+            if ci == 0:
+                approximation, rhs = problem.approximation, \
+                    problem.rhs_entity
+            else:
+                approximation = system.ZeroApproximation(
+                    chunk_contexts[0].grid)
+                rhs = system.RightHandSide(
+                    "b_c", [base.RightHandSide("b_c", g)
+                            for g in chunk_contexts[0].grid])
+            coarsest_op = (contexts[i + levels_per_run].operator
+                           if i + levels_per_run < len(contexts)
+                           else problem.coarsest_operator)
+            pset, _ = generate_primitive_set(
+                approximation, rhs, chunk_contexts, coarsest_op,
+                maximum_local_system_size=maximum_local_system_size,
+                enable_partitioning=enable_partitioning, FAS=FAS)
+            ind = gp.parse_tree(chunk_strings[ci], pset)
+            expr = gp.compile_tree(ind, pset)[0]
+            transformations.assign_cycle_ids(expr)
+            last = (expr, approximation, rhs)
+            if i + levels_per_run < levels:
+                chain.append(ChainLink(expr, approximation, rhs))
+        expr, approximation, rhs = last
+        evaluator = CycleEvaluator(
+            problem, dtype=self.evaluator.dtype,
+            max_iterations=self.evaluator.max_iterations,
+            target_reduction=self.evaluator.target_reduction,
+            chain=chain,
+            cand_entities=(approximation, rhs)) if chain else self.evaluator
+        result = evaluator.evaluate_expression(
+            expr, key="|".join(chunk_strings))
+        return expr, result
+
     def generate_and_evaluate_program_from_grammar_representation(
             self, grammar_string: str, maximum_local_system_size=8,
             enable_partitioning=True):

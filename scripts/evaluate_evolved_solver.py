@@ -16,6 +16,10 @@ def main():
     parser.add_argument("--max-level", type=int, default=None)
     parser.add_argument("--min-level", type=int, default=None)
     parser.add_argument("--samples", type=int, default=20)
+    parser.add_argument("--levels-per-run", type=int, default=None,
+                        help="chunk size of a multi-line (level-chunked) "
+                             "grammar file; inferred from the line count "
+                             "when omitted")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--f32", action="store_true")
     args = parser.parse_args()
@@ -32,15 +36,22 @@ def main():
     from evostencils_tpu.evaluation.evaluator import CycleEvaluator
 
     with open(args.grammar_file) as f:
-        grammar_string = f.read().strip()
+        lines = [ln.strip() for ln in f if ln.strip()]
 
     problem = get_problem(args.problem, args.max_level, args.min_level)
     if args.f32:
         problem.dtype = np.float32
     optimizer = Optimizer(problem, evaluator=CycleEvaluator(problem))
-    expr, result = \
-        optimizer.generate_and_evaluate_program_from_grammar_representation(
-            grammar_string)
+    if len(lines) > 1:
+        # level-chunked solver: one grammar string per chunk, finest
+        # first; the composed program is measured on the finest grid
+        expr, result = optimizer.evaluate_chunked_program(
+            lines, levels_per_run=args.levels_per_run)
+    else:
+        expr, result = \
+            optimizer \
+            .generate_and_evaluate_program_from_grammar_representation(
+                lines[0])
     print(f"Time to convergence: {result.time_to_convergence_ms} ms")
     print(f"Convergence factor: {result.convergence_factor}")
     print(f"Number of iterations: {result.iterations}")

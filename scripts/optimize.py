@@ -161,10 +161,14 @@ def main():
 
     print("\nBest individual:")
     print(result["grammar_string"])
+    # one line per level chunk (finest first); single-chunk runs write one
+    # line, and evaluate_evolved_solver.py recomposes multi-line files
+    chunks = result.get("chunk_grammar_strings") or [result["grammar_string"]]
     with open(os.path.join(args.output, "best_grammar.txt"), "w") as f:
-        f.write(result["grammar_string"] + "\n")
+        f.write("\n".join(chunks) + "\n")
     with open(os.path.join(args.output, "result.p"), "wb") as f:
         pickle.dump({"grammar_string": result["grammar_string"],
+                     "chunk_grammar_strings": chunks,
                      "populations": result["populations"],
                      "logbooks": result["logbooks"]}, f)
     print(f"Results written to {args.output}")

@@ -134,6 +134,18 @@ class TestChunkedRuns:
         assert resumed["chunk_grammar_strings"] == \
             full["chunk_grammar_strings"]
 
+    def test_chunked_program_reevaluates_from_strings(self, tmp_path):
+        """The stored per-chunk grammar strings must rebuild the SAME
+        composed program: re-evaluation reproduces the run's convergence
+        factor (stored-solver protocol for chunked runs)."""
+        opt = self._make(tmp_path)
+        result = opt.evolutionary_optimization(**self.kwargs)
+        expr, res = opt.evaluate_chunked_program(
+            result["chunk_grammar_strings"], levels_per_run=2)
+        vals = result["best_individual"].fitness.values
+        assert res.convergence_factor < Optimizer.infinity
+        assert res.convergence_factor == pytest.approx(vals[0], rel=1e-2)
+
     def test_mu_mismatch_warns_and_restarts(self, tmp_path, capsys):
         opt = self._make(tmp_path)
         kwargs = dict(self.kwargs, levels_per_run=None, generations=2)
