@@ -66,22 +66,30 @@ def main():
     # A/B (scripts/tpu_ab_fusedloop.py) measured it net-slower.
     K = 200
     loop = make_cycle_loop(lowered, K)
+    run = jax.jit(loop)
+    probe = jax.jit(lambda u: u[0].ravel()[0])  # tiny sync fetch
 
-    def k_cycles(u, b_fields, om):
-        out = loop(u, b_fields, om)
-        return sum(jnp.sum(x) for x in out)
-
-    run = jax.jit(k_cycles)
     t0 = time.perf_counter()
-    float(run(u0, b, omegas))
+    u1 = run(u0, b, omegas)
+    float(probe(u1))
     print(f"[bench] compile+first: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
+    # Timed batches CHAIN the state (u of batch j feeds batch j+1): a
+    # repeat call with identical arguments can be served from a cache or
+    # elided, but a data-dependent chain must execute — the 2026-08-20
+    # driver run measured an impossible 0.000 ms/cycle with the old
+    # identical-args repetition.  Each batch is closed by a one-element
+    # fetch (block_until_ready only acknowledges enqueue on the relay).
+    R = 3
     times = []
-    for _ in range(7):
+    u = u1
+    for _ in range(4):
         t0 = time.perf_counter()
-        float(run(u0, b, omegas))
-        times.append(time.perf_counter() - t0)
+        for _ in range(R):
+            u = run(u, b, omegas)
+        float(probe(u))
+        times.append((time.perf_counter() - t0) / R)
     cycle_time = min(times) / K
     n_dof = int(np.prod(problem.finest_grid[0].size))
     dof_per_s = n_dof / cycle_time
@@ -104,6 +112,11 @@ def main():
           f"{fused_floor / cycle_time * 100:.0f}% of fused SoL, "
           f"{v5e_unfused / cycle_time * 100:.0f}% of unfused roofline",
           file=sys.stderr)
+    if cycle_time < 0.5 * fused_floor:
+        print("[bench] WARNING: measured time is below half the HBM "
+              "speed-of-light floor — timing is not physical, refusing "
+              "to report it", file=sys.stderr)
+        sys.exit(1)
 
     # --- convergence sanity: f32 solve to 1e-5 (above the f32 floor) --------
     solver = make_solver(lowered, max_iterations=20, target_reduction=1e-5)

@@ -31,16 +31,21 @@ def measure(low, b, omegas_dtype, K=100, reps=4):
         def body(u, _):
             return low.step(u, bf, omg), None
         u, _ = jax.lax.scan(body, u, None, length=K)
-        return sum(jnp.real(jnp.sum(x)) for x in u)
+        return u
 
     run = jax.jit(k_cycles)
+    probe = jax.jit(lambda u: jnp.real(u[0]).ravel()[0])
     t0 = time.perf_counter()
-    float(run(u0, b, om))
+    u = run(u0, b, om)
+    float(probe(u))
     compile_s = time.perf_counter() - t0
+    # chained batches: u of batch j feeds batch j+1 so no call can be
+    # cached/elided; one-element fetch closes each window (see bench.py)
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(run(u0, b, om))
+        u = run(u, b, om)
+        float(probe(u))
         ts.append(time.perf_counter() - t0)
     return min(ts) / K, compile_s
 

@@ -24,19 +24,27 @@ import numpy as np
 HBM_BPS = 819e9   # v5e
 
 
-def bench(fn, args, K=50, reps=3):
-    """min ms per call; a scalar fetch closes each timing window."""
+def bench(fn, args, chain, K=50, reps=3):
+    """min seconds per call of ``fn(*args)``.
+
+    ``chain(out, args) -> args'`` feeds each iteration's output back into
+    the next iteration's arguments INSIDE the scan.  Without that data
+    dependence XLA's while-loop invariant code motion hoists the whole
+    computation out of the loop (measured: a loop-invariant matmul costs
+    the same at K=16 as at K=1), silently timing one call as if it were K.
+    A scalar fetch closes each timing window (block_until_ready only
+    acknowledges enqueue through the axon relay).
+    """
     import jax
     import jax.numpy as jnp
 
     def k_times(*a):
         def body(carry, _):
-            out = fn(*a)
-            leaves = jax.tree_util.tree_leaves(out)
-            s = sum(jnp.sum(jnp.real(x)) + carry * 1e-30 for x in leaves)
-            return s, None
-        s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
-        return s
+            out = fn(*carry)
+            return chain(out, carry), None
+        a, _ = jax.lax.scan(body, a, None, length=K)
+        leaves = jax.tree_util.tree_leaves(a)
+        return sum(jnp.sum(jnp.real(x).ravel()[:1]) for x in leaves)
 
     run = jax.jit(k_times)
     float(run(*args))
@@ -98,30 +106,40 @@ def main():
     om = jnp.float32(1.15)
 
     # --- fine-level Pallas legs --------------------------------------------
+    # each chain feeds the iteration's output back as next input, so the
+    # scan cannot be hoisted (see bench docstring)
     t = bench(lambda u_, b_: pt.presmooth_residual_rowrestrict(
-        u_, b_, [om, om], plan.vals, plan.r_taps[0], interpret=interp), (u, b))
+        u_, b_, [om, om], plan.vals, plan.r_taps[0], interpret=interp),
+        (u, b), chain=lambda out, a: (out[0], a[1]))
     # streams: read u, read b, write u, write rr(half)
     row("down-leg (2xRB+res+rowR)", t, (3 * n * m + nc * m) * B)
 
     t = bench(lambda u_, c_, b_: pt.prolong_correct_postsmooth(
-        u_, c_, b_, [om, om], plan.vals, plan.p_taps[0], interpret=interp), (u, ch, b))
+        u_, c_, b_, [om, om], plan.vals, plan.p_taps[0], interpret=interp),
+        (u, ch, b), chain=lambda out, a: (out, a[1], a[2]))
     row("up-leg (rowP+corr+1xRB)", t, (3 * n * m + nc * m) * B)
 
     t = bench(lambda u_, c_, b_: pt.upleg_downleg_fused(
         u_, c_, b_, [om, om, om, om], plan.vals, plan.p_taps[0],
-        plan.r_taps[0], interpret=interp), (u, ch, b))
+        plan.r_taps[0], interpret=interp), (u, ch, b),
+        chain=lambda out, a: (out[0], out[1], a[2]))
     row("mega (up-leg k + down-leg k+1)", t, (3 * n * m + 2 * nc * m) * B)
 
     # --- column transfers per strategy -------------------------------------
+    # R: (nc,m)->(nc,nc) and P: (nc,nc)->(nc,m) have mismatched in/out
+    # shapes, so neither can chain alone without adding artificial array
+    # traffic; time the chained PAIR (P's output feeds R, R's feeds P) and
+    # report the pair time — it is what one V-cycle pays per fine level
+    # (one R + one P) and is the number that picks the best mode.
     for mode in ("matmul", "conv", "transpose", "banded"):
         cfg.config.column_transfers = mode
         try:
-            t = bench(lambda r_: L._col_restrict(r_, plan.r_taps[1], m),
-                      (rr,))
-            row(f"col-restrict[{mode}]", t, (nc * m + nc * nc) * B)
-            t = bench(lambda e_: L._col_prolong(e_, plan.p_taps[1], m),
-                      (rc,))
-            row(f"col-prolong[{mode}]", t, (nc * nc + nc * m) * B)
+            def pair(r_):
+                rc_ = L._col_restrict(r_, plan.r_taps[1], m)
+                return L._col_prolong(rc_, plan.p_taps[1], m)
+            t = bench(pair, (rr,), chain=lambda out, a: (out,))
+            row(f"col R+P pair[{mode}]", t,
+                (nc * m + 2 * nc * nc + nc * m) * B)
         except Exception as e:
             print(f"[leg] col[{mode}] FAILED: {str(e)[:120]}",
                   file=sys.stderr)
@@ -132,11 +150,13 @@ def main():
     omv = jnp.asarray(lowered.default_omegas, jnp.float32)
     bt = (b,)
     ut = (u,)
-    t = bench(lambda r_: tail(r_, ut, bt, omv), (rc,))
+    t = bench(lambda r_: tail(r_, ut, bt, omv), (rc,),
+              chain=lambda out, a: (out,))
     row("coarse tail (levels below fine)", t, 2 * (4.0 / 3.0) *
         (3 * nc * nc + nc * nc) * B)   # rough: geometric series below fine
 
-    t = bench(lambda u_, b_: lowered.step((u_,), (b_,), omv), (u, b))
+    t = bench(lambda u_, b_: lowered.step((u_,), (b_,), omv), (u, b),
+              chain=lambda out, a: (out[0], a[1]))
     row("full lowered.step (1 V-cycle)", t, (2 * (3 * n * m + nc * m)
                                              + 2 * nc * m) * B)
 

@@ -37,13 +37,17 @@ def main():
             def body(u, _):
                 return lowered.step(u, b_fields, om), None
             u, _ = jax.lax.scan(body, u, None, length=K)
-            return sum(jnp.sum(x) for x in u)
+            return u
         run = jax.jit(k_cycles)
-        float(run(u0, b, omegas))
+        probe = jax.jit(lambda u: u[0].ravel()[0])
+        u = run(u0, b, omegas)
+        float(probe(u))
         times = []
+        # chained batches so no call can be served from a cache (bench.py)
         for _ in range(3):
             t0 = time.perf_counter()
-            float(run(u0, b, omegas))
+            u = run(u, b, omegas)
+            float(probe(u))
             times.append(time.perf_counter() - t0)
         return min(times) / K
 
