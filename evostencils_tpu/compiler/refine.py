@@ -102,7 +102,8 @@ def make_refined_solver(lowered: LoweredCycle, *,
                         nonlinear: Optional[base.Operator] = None,
                         correction_lowered: Optional[LoweredCycle] = None,
                         richardson_iterations: int = 4,
-                        omegas=None) -> Callable:
+                        omegas=None,
+                        inner_dtype=None) -> Callable:
     """Build ``solve(b) -> RefineResult`` reaching ``target_reduction``
     relative residual (measured in f64 on host from the df64 words).
 
@@ -120,6 +121,16 @@ def make_refined_solver(lowered: LoweredCycle, *,
     g'(u) is applied exactly in the Richardson matvec, so the outer
     iteration converges quadratically instead of stalling on the
     defect-correction mismatch.
+
+    ``inner_dtype``: run the correction V-cycles in a lower precision
+    (e.g. ``jnp.bfloat16``) — the mixed-precision-multigrid recipe: the
+    correction equation tolerates low precision because refinement only
+    needs each outer step to shrink the error by a constant factor.  A
+    bf16 cycle moves half the HBM bytes of an f32 cycle, and since the
+    per-step reduction floors at ~eps(inner_dtype), pair it with a small
+    ``inner_cycles`` (rho^m < eps is wasted work: m ~ 2-3 for bf16 at
+    rho ~ 0.05).  The residual is always measured in df64, so the outer
+    loop is exact regardless of the inner precision.
     """
     st = _constant_scalar_stencil(lowered)
     radius = st.max_offsets
@@ -162,12 +173,20 @@ def make_refined_solver(lowered: LoweredCycle, *,
         @jax.jit
         def correct(uh, ul, rh):
             """m V-cycles on A e = r from zero start, u += e in df64."""
-            e0 = (jnp.zeros_like(rh),)
+            r_in = rh if inner_dtype is None else rh.astype(inner_dtype)
+            e0 = (jnp.zeros_like(r_in),)
 
             def body(e, _):
-                return lowered.step(e, (rh,), omegas), None
+                out = lowered.step(e, (r_in,), omegas)
+                # coarse-tail ops may promote to f32 (their coefficients
+                # are f32 and the arrays are small); keep the CARRY — the
+                # fine-grid state whose HBM traffic dominates — in
+                # inner_dtype so the fine-level kernels stay low precision
+                return tuple(x.astype(r_in.dtype) for x in out), None
 
             (e,), _ = lax.scan(body, e0, None, length=inner_cycles)
+            if inner_dtype is not None:
+                e = e.astype(rh.dtype)
             new_hi, new_lo = df64.df_add((uh, ul), df64.df_from(e))
             return new_hi, new_lo
     else:
@@ -186,13 +205,17 @@ def make_refined_solver(lowered: LoweredCycle, *,
                 return apply_constant(st, v) + c * v
 
             def M(v):
-                e0 = (jnp.zeros_like(v),)
+                # preconditioner may run low precision; the Richardson
+                # matvec B stays f32 so the outer correction is exact
+                v_in = v if inner_dtype is None else v.astype(inner_dtype)
+                e0 = (jnp.zeros_like(v_in),)
 
                 def body(e, _):
-                    return correction_lowered.step(e, (v,), c_omegas), None
+                    out = correction_lowered.step(e, (v_in,), c_omegas)
+                    return tuple(x.astype(v_in.dtype) for x in out), None
 
                 (e,), _ = lax.scan(body, e0, None, length=inner_cycles)
-                return e
+                return e if inner_dtype is None else e.astype(v.dtype)
 
             x = M(rh)
 

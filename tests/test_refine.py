@@ -123,6 +123,30 @@ class TestRefinedSolve:
         rel = np.linalg.norm(got - u_star) / np.linalg.norm(u_star)
         assert rel < 1e-10
 
+    def test_poisson_to_1e12_with_bf16_cycles(self):
+        # mixed-precision multigrid: bf16 correction cycles (half the HBM
+        # traffic of f32 on TPU) under the df64 outer loop still reach
+        # 1e-12 — per-outer-step reduction floors at ~eps(bf16)=2^-8, so
+        # more outer steps, each far cheaper
+        problem = poisson_2d(max_level=6, min_level=3)
+        problem.dtype = np.float32
+        cycle = v_cycle(problem.level_contexts, problem.rhs_entity,
+                        pre_smoothing=2, post_smoothing=1, omega=1.15,
+                        partitioning=part.RedBlack,
+                        coarse_operator=problem.coarsest_operator)
+        lowered = lower_cycle(cycle, problem.approximation,
+                              problem.rhs_entity)
+        solve = make_refined_solver(lowered, inner_cycles=3, max_outer=16,
+                                    target_reduction=1e-12,
+                                    inner_dtype=jnp.bfloat16)
+        b = jnp.asarray(problem.build_rhs()[0], dtype=jnp.float32)
+        res = solve(b)
+        assert res.converged
+        assert res.residuals[-1] <= 1e-12 * res.residuals[0]
+        # every outer step must contract (no stall at the bf16 floor)
+        ratios = [b / a for a, b in zip(res.residuals, res.residuals[1:])]
+        assert max(ratios) < 0.2
+
     def test_fas_to_1e10_with_f32_cycles(self):
         problem = fas_2d_basic(max_level=5, min_level=3)
         problem.dtype = np.float32
