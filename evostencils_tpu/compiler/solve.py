@@ -96,7 +96,12 @@ def make_cycle_loop(lowered: LoweredCycle, n_cycles: int):
 
     def run_generic(u_fields, b_fields, omegas):
         def body(u, _):
-            return lowered.step(u, b_fields, omegas), None
+            out = lowered.step(u, b_fields, omegas)
+            # keep the carry in the caller's dtype: low-precision (bf16)
+            # states would otherwise be promoted to f32 by the coarse
+            # tail's f32 coefficients and break the scan's type invariant
+            return tuple(o.astype(f.dtype) for o, f in zip(out, u_fields)), \
+                None
         u, _ = lax.scan(body, u_fields, None, length=n_cycles)
         return u
 
@@ -117,7 +122,9 @@ def make_cycle_loop(lowered: LoweredCycle, n_cycles: int):
         def coarse(rr):
             rc = _col_restrict(rr, plan.r_taps[1], m)
             e = tail(rc, u_fields, b_fields, omegas)
-            return _col_prolong(e, plan.p_taps[1], m)
+            # cast back: the tail's f32 coefficients promote bf16 states,
+            # and the fused fine-level kernel wants uniform input dtype
+            return _col_prolong(e, plan.p_taps[1], m).astype(u.dtype)
 
         u1, rr = ptransfer.presmooth_residual_rowrestrict(
             u, b, oms_pre, plan.vals, plan.r_taps[0], interpret=interp)

@@ -74,6 +74,21 @@ def main():
           f"rho {rho_implied:.4f} (f32 bench extrapolates from rho "
           f"measured over 4 cycles)", file=sys.stderr)
 
+    # ---- same solve with bf16 inner cycles (mixed-precision MG) -----------
+    bf_solve = make_refined_solver(lowered, inner_cycles=3, max_outer=16,
+                                   target_reduction=1e-12,
+                                   inner_dtype=jnp.bfloat16)
+    t0 = time.perf_counter()
+    bres = bf_solve(b)
+    tb = time.perf_counter() - t0
+    brels = [r / bres.residuals[0] for r in bres.residuals]
+    print(f"[deep] poisson2d bf16-inner: converged={bres.converged} "
+          f"outer={bres.outer_iterations} time={tb:.2f}s "
+          f"({3 * (bres.outer_iterations - 1)} bf16 V-cycles)",
+          file=sys.stderr)
+    print("[deep]   rel residuals: "
+          + "  ".join(f"{r:.3e}" for r in brels), file=sys.stderr)
+
     # ---- FAS to 1e-10 ------------------------------------------------------
     fml = args.fas_max_level
     fmin = max(fml - 4, 2)
@@ -105,8 +120,9 @@ def main():
     print("[deep]   rel residuals: "
           + "  ".join(f"{r:.3e}" for r in frels), file=sys.stderr)
 
-    ok = res.converged and fres.converged
+    ok = res.converged and fres.converged and bres.converged
     print(f'{{"poisson_1e12": {str(res.converged).lower()}, '
+          f'"poisson_1e12_bf16_inner": {str(bres.converged).lower()}, '
           f'"fas_1e10": {str(fres.converged).lower()}}}')
     return 0 if ok else 1
 
