@@ -15,11 +15,14 @@ Run alone (single-client TPU tunnel):
     PYTHONPATH=/root/.axon_site:/root/repo python scripts/leg_profile.py
 """
 
+import argparse
 import pathlib
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 HBM_BPS = 819e9   # v5e
 
@@ -64,6 +67,12 @@ def row(name, t_s, bytes_moved):
 
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true",
+                        help="time only the fused legs, the coarse tail and "
+                             "the full step (each distinct program costs a "
+                             "multi-minute remote compile on the tunnel)")
+    args = parser.parse_args()
     import jax
     import jax.numpy as jnp
     cache = str(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache")
@@ -131,7 +140,9 @@ def main():
     # traffic; time the chained PAIR (P's output feeds R, R's feeds P) and
     # report the pair time — it is what one V-cycle pays per fine level
     # (one R + one P) and is the number that picks the best mode.
-    for mode in ("matmul", "conv", "transpose", "banded"):
+    modes = (cfg.config.column_transfers or "matmul",) if args.quick \
+        else ("matmul", "conv", "transpose", "banded")
+    for mode in modes:
         cfg.config.column_transfers = mode
         try:
             def pair(r_):
