@@ -81,6 +81,19 @@ def main():
     # driver run measured an impossible 0.000 ms/cycle with the old
     # identical-args repetition.  Each batch is closed by a one-element
     # fetch (block_until_ready only acknowledges enqueue on the relay).
+    # calibrate the fixed window overhead (dispatch + scalar fetch through
+    # the relay, ~tens of ms) and subtract it from each timed window
+    tiny = jax.jit(lambda x: (x * 1.000001).ravel()[:1])
+    float(tiny(u1[0])[0])
+    cal = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(tiny(u1[0])[0])
+        cal.append(time.perf_counter() - t0)
+    overhead = min(cal)
+    print(f"[bench] window overhead (dispatch+fetch): {overhead * 1e3:.1f} ms",
+          file=sys.stderr)
+
     R = 3
     times = []
     u = u1
@@ -89,7 +102,7 @@ def main():
         for _ in range(R):
             u = run(u, b, omegas)
         float(probe(u))
-        times.append((time.perf_counter() - t0) / R)
+        times.append((time.perf_counter() - t0 - overhead) / R)
     cycle_time = min(times) / K
     n_dof = int(np.prod(problem.finest_grid[0].size))
     dof_per_s = n_dof / cycle_time

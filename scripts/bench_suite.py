@@ -39,6 +39,13 @@ def measure(low, b, omegas_dtype, K=100, reps=4):
     u = run(u0, b, om)
     float(probe(u))
     compile_s = time.perf_counter() - t0
+    # fixed window overhead (dispatch + fetch through the relay)
+    cal = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        float(probe(u))
+        cal.append(time.perf_counter() - t0)
+    overhead = min(cal)
     # chained batches: u of batch j feeds batch j+1 so no call can be
     # cached/elided; one-element fetch closes each window (see bench.py)
     ts = []
@@ -47,7 +54,7 @@ def measure(low, b, omegas_dtype, K=100, reps=4):
         u = run(u, b, om)
         float(probe(u))
         ts.append(time.perf_counter() - t0)
-    return min(ts) / K, compile_s
+    return max(min(ts) - overhead, 1e-9) / K, compile_s
 
 
 def main():

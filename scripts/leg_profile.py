@@ -27,8 +27,34 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 HBM_BPS = 819e9   # v5e
 
 
-def bench(fn, args, chain, K=50, reps=3):
-    """min seconds per call of ``fn(*args)``.
+_window_overhead = None
+
+
+def _calibrate_window():
+    """Seconds of fixed overhead per timed window: dispatch + the scalar
+    fetch that closes it (~tens of ms through the axon relay).  Subtracted
+    from every measurement — at K=50 it is ~1 ms/call of phantom time."""
+    global _window_overhead
+    if _window_overhead is not None:
+        return _window_overhead
+    import jax
+    import jax.numpy as jnp
+    tiny = jax.jit(lambda x: (x * 1.000001).ravel()[:1].astype(jnp.float32))
+    x = jnp.ones((8, 128), jnp.float32)
+    float(tiny(x)[0])
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(tiny(x)[0])
+        ts.append(time.perf_counter() - t0)
+    _window_overhead = min(ts)
+    print(f"[leg] window overhead (dispatch+fetch): "
+          f"{_window_overhead * 1e3:.1f} ms", file=sys.stderr, flush=True)
+    return _window_overhead
+
+
+def bench(fn, args, chain, K=512, reps=3):
+    """min seconds per call of ``fn(*args)``, window overhead subtracted.
 
     ``chain(out, args) -> args'`` feeds each iteration's output back into
     the next iteration's arguments INSIDE the scan.  Without that data
@@ -36,10 +62,13 @@ def bench(fn, args, chain, K=50, reps=3):
     computation out of the loop (measured: a loop-invariant matmul costs
     the same at K=16 as at K=1), silently timing one call as if it were K.
     A scalar fetch closes each timing window (block_until_ready only
-    acknowledges enqueue through the axon relay).
+    acknowledges enqueue through the axon relay); the fetch+dispatch
+    overhead is measured by :func:`_calibrate_window` and subtracted.
     """
     import jax
     import jax.numpy as jnp
+
+    over = _calibrate_window()
 
     def k_times(*a):
         def body(carry, _):
@@ -56,7 +85,7 @@ def bench(fn, args, chain, K=50, reps=3):
         t0 = time.perf_counter()
         float(run(*args))
         ts.append(time.perf_counter() - t0)
-    return min(ts) / K
+    return max(min(ts) - over, 1e-9) / K
 
 
 def row(name, t_s, bytes_moved):

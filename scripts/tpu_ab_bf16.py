@@ -58,13 +58,19 @@ def main():
         float(probe(u))
         print(f"[ab] {label}: compile+first {time.perf_counter() - t0:.1f}s",
               file=sys.stderr, flush=True)
+        cal = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            float(probe(u))
+            cal.append(time.perf_counter() - t0)
+        overhead = min(cal)
         ts = []
         for _ in range(4):
             t0 = time.perf_counter()
             for _ in range(2):
                 u = run(u, bf, omegas)
             float(probe(u))
-            ts.append((time.perf_counter() - t0) / 2)
+            ts.append((time.perf_counter() - t0 - overhead) / 2)
         t = min(ts) / K
         print(f"[ab] {label}: {t * 1e3:.3f} ms/cycle, "
               f"{n_dof / t:.3e} DoF/s", file=sys.stderr, flush=True)
