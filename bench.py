@@ -64,14 +64,22 @@ def main():
     # per launch).  config.loop_fusion decides whether the loop fuses
     # cycle k's up-leg with cycle k+1's down-leg — off on v5e where the
     # A/B (scripts/tpu_ab_fusedloop.py) measured it net-slower.
+    # ONE compiled program: the remote compile service through the tunnel
+    # costs ~10 minutes per program, so the K-cycle loop and the scalar
+    # checksum share a single jit (the checksum leaf is the only buffer
+    # fetched; a second, never-fetched scalar calibrates the window).
     K = 200
     loop = make_cycle_loop(lowered, K)
-    run = jax.jit(loop)
-    probe = jax.jit(lambda u: u[0].ravel()[0])  # tiny sync fetch
 
+    def k_and_probe(u, b_fields, om):
+        out = loop(u, b_fields, om)
+        s = out[0].ravel()[0]
+        return out, s, s + 1
+
+    run = jax.jit(k_and_probe)
     t0 = time.perf_counter()
-    u1 = run(u0, b, omegas)
-    float(probe(u1))
+    u, s, s2 = run(u0, b, omegas)
+    float(s)
     print(f"[bench] compile+first: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
@@ -79,30 +87,33 @@ def main():
     # repeat call with identical arguments can be served from a cache or
     # elided, but a data-dependent chain must execute — the 2026-08-20
     # driver run measured an impossible 0.000 ms/cycle with the old
-    # identical-args repetition.  Each batch is closed by a one-element
-    # fetch (block_until_ready only acknowledges enqueue on the relay).
-    # calibrate the fixed window overhead (dispatch + scalar fetch through
-    # the relay, ~tens of ms) and subtract it from each timed window
-    tiny = jax.jit(lambda x: (x * 1.000001).ravel()[:1])
-    float(tiny(u1[0])[0])
-    cal = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(tiny(u1[0])[0])
-        cal.append(time.perf_counter() - t0)
-    overhead = min(cal)
-    print(f"[bench] window overhead (dispatch+fetch): {overhead * 1e3:.1f} ms",
-          file=sys.stderr)
-
+    # identical-args repetition.  Each batch is closed by the one-element
+    # checksum fetch (block_until_ready only acknowledges enqueue on the
+    # relay).
     R = 3
     times = []
-    u = u1
+    spares = [s2]
     for _ in range(4):
         t0 = time.perf_counter()
         for _ in range(R):
-            u = run(u, b, omegas)
-        float(probe(u))
-        times.append((time.perf_counter() - t0 - overhead) / R)
+            u, s, s2 = run(u, b, omegas)
+        float(s)
+        times.append(time.perf_counter() - t0)
+        spares.append(s2)
+
+    # fixed window overhead (dispatch + fetch, ~tens of ms through the
+    # relay): fetching a small never-fetched buffer is a pure host round
+    # trip (jax caches values after the first fetch, so each calibration
+    # sample needs its own fresh buffer)
+    def time_fetch(sp):
+        t0 = time.perf_counter()
+        float(sp)
+        return time.perf_counter() - t0
+
+    overhead = min(time_fetch(sp) for sp in spares)
+    print(f"[bench] window overhead (dispatch+fetch): {overhead * 1e3:.1f} ms",
+          file=sys.stderr)
+    times = [(t - overhead) / R for t in times]
     cycle_time = min(times) / K
     n_dof = int(np.prod(problem.finest_grid[0].size))
     dof_per_s = n_dof / cycle_time
@@ -132,9 +143,23 @@ def main():
         sys.exit(1)
 
     # --- convergence sanity: f32 solve to 1e-5 (above the f32 floor) --------
-    solver = make_solver(lowered, max_iterations=20, target_reduction=1e-5)
-    u_s, iters, hist = solver(u0, b, omegas)
-    hist = np.asarray(jax.device_get(hist))
+    # on the IN-PROCESS CPU backend: convergence is algorithm physics, not
+    # device timing, and a second remote compile would double wall time
+    from evostencils_tpu.config import config as es_config
+    cpu = jax.devices("cpu")[0]
+    b_c = tuple(jax.device_put(np.asarray(x), cpu) for x in b)
+    u0_c = tuple(jnp.zeros_like(x) for x in b_c)
+    om_c = jax.device_put(np.asarray(omegas), cpu)
+    old_pallas = es_config.use_pallas_kernels
+    es_config.use_pallas_kernels = False
+    try:
+        with jax.default_device(cpu):
+            solver = make_solver(lowered, max_iterations=20,
+                                 target_reduction=1e-5)
+            u_s, iters, hist = solver(u0_c, b_c, om_c)
+            hist = np.asarray(jax.device_get(hist))
+    finally:
+        es_config.use_pallas_kernels = old_pallas
     iters = int(iters)
     # asymptotic rho from the pre-plateau iterations
     k = min(iters, 4)

@@ -88,6 +88,7 @@ class Optimizer:
                  convergence_evaluator=None, performance_evaluator=None,
                  model_based_estimation: bool = False,
                  robustness_problems: Optional[List] = None,
+                 robustness_factories: Optional[List[Callable]] = None,
                  rng: Optional[random.Random] = None,
                  comm: Optional[Communicator] = None):
         self.problem = problem
@@ -99,6 +100,10 @@ class Optimizer:
         #: becomes the worst case over all of them (reference Helmholtz
         #: k-doubling robustness loop, exastencils.py:518-532)
         self.robustness_problems = robustness_problems or []
+        #: (min_level, max_level) -> variant problem, one per robustness
+        #: variant — required for mid-run generalization so the variant
+        #: grammars regrow with the base problem (see _rebuild_problem)
+        self.robustness_factories = robustness_factories
         self._robustness: List[tuple] = []
         self.checkpoint_directory_path = checkpoint_directory_path
         self.problem_factory = problem_factory
@@ -274,6 +279,10 @@ class Optimizer:
         if use_checkpoint:
             population = checkpoint.population
             min_generation = checkpoint.generation
+            if not logbooks and getattr(checkpoint, "logbooks", None):
+                # restore pre-interruption generation statistics — the
+                # caller passes a fresh [] on resume
+                logbooks.extend(checkpoint.logbooks)
             if logbooks:
                 logbook = logbooks[-1]
             else:
@@ -465,6 +474,14 @@ class Optimizer:
     def _rebuild_problem(self, new_min_level, new_max_level):
         """Regrow the problem via ``problem_factory`` and rebuild the
         evaluator + primitive set over the new hierarchy."""
+        if getattr(self.evaluator, "chain", None):
+            # the finer-chunk chain was evolved on the OLD hierarchy; quietly
+            # rebuilding without it would measure candidates against a
+            # different program than the one being composed
+            raise NotImplementedError(
+                "mid-run generalization under a level-chunked run is not "
+                "supported: set levels_per_run to span the full hierarchy "
+                "or disable generalization_interval")
         problem = self.problem_factory(new_min_level, new_max_level)
         if problem.levels_total != self.problem.levels_total:
             raise ValueError(
@@ -486,6 +503,35 @@ class Optimizer:
                 enable_partitioning=self._enable_partitioning,
                 FAS=problem.nonlinear_term is not None)
             self._pset = pset
+        # regrow the robustness variants with the base problem: their old
+        # psets name OLD-level entities, so every re-parse after the shift
+        # would KeyError into infinity fitness — the round-1 stale-pset
+        # failure mode, but for the variant grammars
+        if self._robustness:
+            if not self.robustness_factories or \
+                    len(self.robustness_factories) != len(self._robustness):
+                raise ValueError(
+                    "mid-run generalization with robustness variants needs "
+                    "robustness_factories (one (min_level, max_level) -> "
+                    "problem callable per variant) so the variant grammars "
+                    "regrow with the base problem")
+            self.robustness_problems = [
+                f(new_min_level, new_max_level)
+                for f in self.robustness_factories]
+            rebuilt = []
+            for variant in self.robustness_problems:
+                pset_v, _ = generate_primitive_set(
+                    variant.approximation, variant.rhs_entity,
+                    variant.level_contexts, variant.coarsest_operator,
+                    maximum_local_system_size=self._maximum_local_system_size,
+                    enable_partitioning=self._enable_partitioning,
+                    FAS=variant.nonlinear_term is not None)
+                ev_v = CycleEvaluator(
+                    variant, dtype=self.evaluator.dtype,
+                    max_iterations=self.evaluator.max_iterations,
+                    target_reduction=self.evaluator.target_reduction)
+                rebuilt.append((ev_v, pset_v))
+            self._robustness = rebuilt
         self.individual_cache.clear()
 
     # -- algorithm frontends -------------------------------------------------
@@ -754,7 +800,18 @@ class Optimizer:
         problem = self.problem
         levels = problem.max_level - problem.min_level
         if levels_per_run is None:
+            # ceil(levels / n_chunks) is only a GUESS at the original run's
+            # chunking (9 levels in 3 chunks could have been 3+3+3 or
+            # 4+4+1); a wrong guess is caught below, pass the original
+            # levels_per_run to be exact
             levels_per_run = -(-levels // len(chunk_strings))
+        n_chunks = len(range(0, levels, levels_per_run))
+        if n_chunks != len(chunk_strings):
+            raise ValueError(
+                f"levels_per_run={levels_per_run} splits {levels} levels "
+                f"into {n_chunks} chunks but {len(chunk_strings)} grammar "
+                "strings were given — pass the original run's "
+                "levels_per_run")
         contexts = problem.level_contexts
         FAS = problem.nonlinear_term is not None
         from ..compiler.lower import ChainLink
@@ -779,7 +836,14 @@ class Optimizer:
                 approximation, rhs, chunk_contexts, coarsest_op,
                 maximum_local_system_size=maximum_local_system_size,
                 enable_partitioning=enable_partitioning, FAS=FAS)
-            ind = gp.parse_tree(chunk_strings[ci], pset)
+            try:
+                ind = gp.parse_tree(chunk_strings[ci], pset)
+            except (KeyError, ValueError, SyntaxError) as e:
+                raise ValueError(
+                    f"chunk {ci} grammar string does not parse against the "
+                    f"reconstructed {len(chunk_contexts)}-level chunk "
+                    f"grammar (levels_per_run={levels_per_run} probably "
+                    "differs from the original run's)") from e
             expr = gp.compile_tree(ind, pset)[0]
             transformations.assign_cycle_ids(expr)
             last = (expr, approximation, rhs)

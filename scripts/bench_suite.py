@@ -15,13 +15,22 @@ Run alone (single-client TPU tunnel):
 """
 
 import json
+import pathlib
 import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
-def measure(low, b, omegas_dtype, K=100, reps=4):
+
+def measure(low, b, omegas_dtype, K=100, reps=3):
+    """ms per cycle with ONE compiled program (remote compiles through the
+    tunnel cost ~10 minutes each, so the state-advance and the scalar
+    checksum share a single jit; the checksum leaf is the only buffer
+    fetched).  Chained batches (u feeds the next call) prevent any
+    caching/elision; the fixed dispatch+fetch window overhead is measured
+    by re-fetching the already-computed checksum buffer and subtracted."""
     import jax
     import jax.numpy as jnp
     u0 = tuple(jnp.zeros_like(x) for x in b)
@@ -31,29 +40,30 @@ def measure(low, b, omegas_dtype, K=100, reps=4):
         def body(u, _):
             return low.step(u, bf, omg), None
         u, _ = jax.lax.scan(body, u, None, length=K)
-        return u
+        s = jnp.real(u[0]).ravel()[0]
+        return u, s, s + 1   # second scalar stays unfetched -> calibration
 
     run = jax.jit(k_cycles)
-    probe = jax.jit(lambda u: jnp.real(u[0]).ravel()[0])
     t0 = time.perf_counter()
-    u = run(u0, b, om)
-    float(probe(u))
+    u, s, s2 = run(u0, b, om)
+    float(s)
     compile_s = time.perf_counter() - t0
-    # fixed window overhead (dispatch + fetch through the relay)
-    cal = []
-    for _ in range(4):
-        t0 = time.perf_counter()
-        float(probe(u))
-        cal.append(time.perf_counter() - t0)
-    overhead = min(cal)
-    # chained batches: u of batch j feeds batch j+1 so no call can be
-    # cached/elided; one-element fetch closes each window (see bench.py)
-    ts = []
+    ts, spares = [], [s2]
     for _ in range(reps):
         t0 = time.perf_counter()
-        u = run(u, b, om)
-        float(probe(u))
+        u, s, s2 = run(u, b, om)
+        float(s)
         ts.append(time.perf_counter() - t0)
+        spares.append(s2)
+    # fixed window overhead: fetching a small never-fetched buffer is a
+    # pure host round-trip (jax caches values after the first fetch, so
+    # each calibration sample needs its own fresh buffer)
+    cal = []
+    for sp in spares:
+        t0 = time.perf_counter()
+        float(sp)
+        cal.append(time.perf_counter() - t0)
+    overhead = min(cal)
     return max(min(ts) - overhead, 1e-9) / K, compile_s
 
 
@@ -125,17 +135,32 @@ def main():
     def converge(low, b, target=1e-5, max_iter=60):
         """f32-reachable solve: iterations + asymptotic rho, and the
         extrapolated iteration count to the reference's deep target
-        (log(eps)/log(rho), evaluation/evaluator.py semantics)."""
+        (log(eps)/log(rho), evaluation/evaluator.py semantics).
+
+        Runs on the IN-PROCESS CPU backend: convergence is precision/
+        algorithm physics, not device timing, and a second remote compile
+        per case (~10 min each through the tunnel) would double the
+        suite's wall time for numbers the CPU reproduces exactly."""
         import jax
         import jax.numpy as jnp
+        from evostencils_tpu.config import config as es_config
+        cpu = jax.devices("cpu")[0]
+        b = tuple(jax.device_put(np.asarray(x), cpu) for x in b)
         u0 = tuple(jnp.zeros_like(x) for x in b)
-        om = jnp.asarray(low.default_omegas,
-                         np.complex64 if b[0].dtype == np.complex64
-                         else np.float32)
-        run = make_solver(low, max_iterations=max_iter,
-                          target_reduction=target)
-        u, k, hist = run(u0, b, om)
-        hist = np.asarray(jax.device_get(hist))
+        om = jax.device_put(
+            np.asarray(low.default_omegas,
+                       np.complex64 if b[0].dtype == np.complex64
+                       else np.float32), cpu)
+        old_pallas = es_config.use_pallas_kernels
+        es_config.use_pallas_kernels = False   # XLA path on the CPU devices
+        try:
+            with jax.default_device(cpu):
+                run = make_solver(low, max_iterations=max_iter,
+                                  target_reduction=target)
+                u, k, hist = run(u0, b, om)
+                hist = np.asarray(jax.device_get(hist))
+        finally:
+            es_config.use_pallas_kernels = old_pallas
         k = int(k)
         kk = max(min(k, 6), 1)
         rho = float((hist[kk] / hist[0]) ** (1.0 / kk))
@@ -150,8 +175,10 @@ def main():
         try:
             t, comp = measure(low, b, om_dtype)
         except Exception as e:  # keep the suite going
+            import traceback
             print(f"{name}: FAILED {type(e).__name__}: {str(e)[:140]}",
                   flush=True)
+            traceback.print_exc(file=sys.stderr)
             continue
         try:
             iters, rho, deep = converge(low, b)

@@ -120,16 +120,20 @@ def main():
         # reference's wavenumber-doubling robustness schedule
         # (reference scripts/optimize.py:33-37, exastencils.py:518-532)
         robustness = []
+        robustness_factories = None
         if args.problem == "helmholtz2d" and not args.no_robustness:
             from evostencils_tpu.problems.helmholtz import (helmholtz_2d,
                                                             K_DEFAULT)
+            robustness_factories = [
+                (lambda lo, hi, kk=f * K_DEFAULT:
+                 helmholtz_2d(max_level=hi, min_level=lo, k=kk))
+                for f in (2, 4)]
             robustness = [
-                helmholtz_2d(max_level=args.max_level or 7,
-                             min_level=args.min_level or 3, k=2 * K_DEFAULT),
-                helmholtz_2d(max_level=args.max_level or 7,
-                             min_level=args.min_level or 3, k=4 * K_DEFAULT)]
+                f(args.min_level or 3, args.max_level or 7)
+                for f in robustness_factories]
         optimizer = Optimizer(
             problem, evaluator=evaluator, robustness_problems=robustness,
+            robustness_factories=robustness_factories,
             checkpoint_directory_path=os.path.join(args.output,
                                                    "checkpoints"),
             model_based_estimation=args.model_based,

@@ -53,6 +53,45 @@ class TestGeneralization:
         best = min(hof, key=lambda i: i.fitness.values[0])
         assert best.fitness.values[0] < 1.0   # still a converging solver
 
+    def test_robustness_variants_regrow_with_problem(self, tmp_path):
+        """Generalization must rebuild the robustness-variant grammars too:
+        the variant psets name OLD-level entities, so without regrowth
+        every post-growth re-parse would KeyError into infinity fitness
+        (the round-1 stale-pset failure mode, variant flavor)."""
+        problem = factory(2, 4)
+        variant = factory(2, 4)          # same PDE as a stand-in variant
+        opt = Optimizer(problem, rng=random.Random(5),
+                        problem_factory=factory,
+                        robustness_problems=[variant],
+                        robustness_factories=[factory],
+                        checkpoint_directory_path=str(tmp_path))
+        result = opt.evolutionary_optimization(
+            mu_=4, lambda_=4, generations=4,
+            population_initialization_factor=2,
+            generalization_interval=2, verbose=False)
+        # interval=2 over 4 generations -> one growth step (2,4) -> (3,5)
+        assert opt.problem.max_level == 5
+        # the variant grammars were rebuilt at the new levels
+        assert opt._robustness
+        for _, pset_v in opt._robustness:
+            assert any("5" in name for name in pset_v.mapping), \
+                "variant pset still names old levels"
+        best = result["best_individual"]
+        assert all(v < opt.infinity for v in best.fitness.values), \
+            "best individual collapsed after growth with robustness"
+
+    def test_generalization_without_variant_factories_raises(self, tmp_path):
+        problem = factory(2, 4)
+        opt = Optimizer(problem, rng=random.Random(6),
+                        problem_factory=factory,
+                        robustness_problems=[factory(2, 4)],
+                        checkpoint_directory_path=str(tmp_path))
+        with pytest.raises(ValueError, match="robustness_factories"):
+            opt.evolutionary_optimization(
+                mu_=4, lambda_=4, generations=4,
+                population_initialization_factor=2,
+                generalization_interval=2, verbose=False)
+
     def test_transfer_preserves_structure(self):
         """Every tree must transfer positionally to the regrown grammar:
         same shape, same symbol indices, compilable against the new grids
