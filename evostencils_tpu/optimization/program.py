@@ -76,6 +76,28 @@ def load_checkpoint_from_file(path: str) -> CheckPoint:
         return pickle.load(f)
 
 
+def _chunk_entities(prob, chunk_ctxs, first):
+    """Approximation/rhs entities of one level chunk: the finest chunk
+    carries the problem's own entities, coarser chunks start from zero on
+    a synthetic coarse rhs (the restricted residual the finer chain
+    passes down).  Shared by evolution and stored-solver re-evaluation —
+    both must build identical programs."""
+    if first:
+        return prob.approximation, prob.rhs_entity
+    approx = system.ZeroApproximation(chunk_ctxs[0].grid)
+    rhs_e = system.RightHandSide(
+        "b_c", [base.RightHandSide("b_c", g) for g in chunk_ctxs[0].grid])
+    return approx, rhs_e
+
+
+def _chunk_coarsest(prob, contexts, i, levels_per_run):
+    """Operator below a chunk's coarsest level (the chunk grammar's
+    coarse-grid-solver operator)."""
+    if i + levels_per_run < len(contexts):
+        return contexts[i + levels_per_run].operator
+    return prob.coarsest_operator
+
+
 class Optimizer:
     """G3P optimizer over a Problem."""
 
@@ -665,25 +687,15 @@ class Optimizer:
                 return self.estimate_execution_time(v[0], v[1])
             return v[0]
 
-        def chunk_entities(prob, chunk_ctxs, first):
-            if first:
-                return prob.approximation, prob.rhs_entity
-            approx = system.ZeroApproximation(chunk_ctxs[0].grid)
-            rhs_e = system.RightHandSide(
-                "b_c", [base.RightHandSide("b_c", g)
-                        for g in chunk_ctxs[0].grid])
-            return approx, rhs_e
-
         for ci, i in enumerate(range(0, levels, levels_per_run)):
             # chunk ci covers grammar over contexts[i : i+levels_per_run]
             chunk_contexts = contexts[i:i + levels_per_run]
             max_level = problem.max_level - i
             min_level = max_level - len(chunk_contexts)
-            approximation, rhs = chunk_entities(problem, chunk_contexts,
-                                                ci == 0)
-            coarsest_op = (contexts[i + levels_per_run].operator
-                           if i + levels_per_run < len(contexts)
-                           else problem.coarsest_operator)
+            approximation, rhs = _chunk_entities(problem, chunk_contexts,
+                                                 ci == 0)
+            coarsest_op = _chunk_coarsest(problem, contexts, i,
+                                          levels_per_run)
             pset, _ = generate_primitive_set(
                 approximation, rhs, chunk_contexts, coarsest_op,
                 maximum_local_system_size=maximum_local_system_size,
@@ -707,12 +719,10 @@ class Optimizer:
             variant_parts = []
             for vi, variant in enumerate(self.robustness_problems):
                 v_ctxs = variant.level_contexts[i:i + levels_per_run]
-                v_approx, v_rhs = chunk_entities(variant, v_ctxs, ci == 0)
-                v_coarsest = (variant.level_contexts[i + levels_per_run]
-                              .operator
-                              if i + levels_per_run < len(
-                                  variant.level_contexts)
-                              else variant.coarsest_operator)
+                v_approx, v_rhs = _chunk_entities(variant, v_ctxs, ci == 0)
+                v_coarsest = _chunk_coarsest(variant,
+                                             variant.level_contexts, i,
+                                             levels_per_run)
                 pset_v, _ = generate_primitive_set(
                     v_approx, v_rhs, v_ctxs, v_coarsest,
                     maximum_local_system_size=maximum_local_system_size,
@@ -814,24 +824,17 @@ class Optimizer:
                 "levels_per_run")
         contexts = problem.level_contexts
         FAS = problem.nonlinear_term is not None
-        from ..compiler.lower import ChainLink
-
         chain: List[ChainLink] = []
         last = None
         for ci, i in enumerate(range(0, levels, levels_per_run)):
             chunk_contexts = contexts[i:i + levels_per_run]
-            if ci == 0:
-                approximation, rhs = problem.approximation, \
-                    problem.rhs_entity
-            else:
-                approximation = system.ZeroApproximation(
-                    chunk_contexts[0].grid)
-                rhs = system.RightHandSide(
-                    "b_c", [base.RightHandSide("b_c", g)
-                            for g in chunk_contexts[0].grid])
-            coarsest_op = (contexts[i + levels_per_run].operator
-                           if i + levels_per_run < len(contexts)
-                           else problem.coarsest_operator)
+            # same chunk-entity construction as evolutionary_optimization —
+            # both sites MUST stay in sync or re-evaluation rebuilds a
+            # different program than the one evolved
+            approximation, rhs = _chunk_entities(problem, chunk_contexts,
+                                                 ci == 0)
+            coarsest_op = _chunk_coarsest(problem, contexts, i,
+                                          levels_per_run)
             pset, _ = generate_primitive_set(
                 approximation, rhs, chunk_contexts, coarsest_op,
                 maximum_local_system_size=maximum_local_system_size,

@@ -67,67 +67,113 @@ def measure(low, b, omegas_dtype, K=100, reps=3):
     return max(min(ts) - overhead, 1e-9) / K, compile_s
 
 
+def case_specs():
+    """(name, builder, note) per problem family; builders are LAZY so a
+    per-case subprocess only pays for its own problem."""
+    import os
+    small = bool(os.environ.get("BENCH_SUITE_SMALL"))
+    L = (lambda big, tiny: tiny if small else big)
+    f32 = np.float32
+
+    def build(problem_fn, cycle_builder, dtype):
+        def make():
+            from evostencils_tpu.compiler.lower import lower_cycle
+            problem = problem_fn()
+            problem.dtype = dtype
+            cycle = cycle_builder(problem)
+            low = lower_cycle(cycle, problem.approximation,
+                              problem.rhs_entity)
+            b = problem.build_rhs()
+            n_dof = sum(int(np.prod(g.size)) for g in problem.finest_grid)
+            return low, b, n_dof
+        return make
+
+    def std_v(problem, omega=1.15, partitioning=None):
+        from evostencils_tpu.compiler.cycles import v_cycle
+        from evostencils_tpu.ir import partitioning as part
+        return v_cycle(problem.level_contexts, problem.rhs_entity,
+                       pre_smoothing=2, post_smoothing=1, omega=omega,
+                       partitioning=partitioning or part.RedBlack,
+                       coarse_operator=problem.coarsest_operator)
+
+    def _poisson2d():
+        from evostencils_tpu.problems.poisson import poisson_2d
+        return poisson_2d(max_level=L(12, 5), min_level=L(5, 3))
+
+    def _poisson3d():
+        from evostencils_tpu.problems.poisson import poisson_3d
+        return poisson_3d(max_level=L(8, 4), min_level=2)
+
+    def _poisson2d_var():
+        from evostencils_tpu.problems.poisson import poisson_2d_variable
+        return poisson_2d_variable(max_level=L(11, 5), min_level=L(5, 3))
+
+    def _elasticity():
+        from evostencils_tpu.problems.elasticity import linear_elasticity_2d
+        return linear_elasticity_2d(max_level=L(11, 5), min_level=L(4, 3))
+
+    def _helmholtz():
+        from evostencils_tpu.problems.helmholtz import helmholtz_2d
+        return helmholtz_2d(max_level=L(11, 5), min_level=3)
+
+    def _fas():
+        from evostencils_tpu.problems.fas import fas_2d_basic
+        return fas_2d_basic(max_level=L(10, 5), min_level=L(6, 3))
+
+    def _jacobi_v(p):
+        from evostencils_tpu.ir import partitioning as part
+        return std_v(p, omega=0.8, partitioning=part.Single)
+
+    def _fas_v(p):
+        from evostencils_tpu.compiler.cycles import fas_v_cycle
+        return fas_v_cycle(p.level_contexts, p.rhs_entity,
+                           coarse_operator=p.coarsest_operator)
+
+    return [
+        (f"poisson2d_{2**L(12,5)-1}sq",
+         build(_poisson2d, std_v, f32),
+         "reference solver block, RB-GS 1.15"),
+        (f"poisson3d_{2**L(8,4)-1}cube",
+         build(_poisson3d, std_v, f32), "7-point, RB-GS 1.15"),
+        (f"poisson2d_var_{2**L(11,5)-1}sq",
+         build(_poisson2d_var, _jacobi_v, f32),
+         "variable coefficients, Jacobi 0.8"),
+        (f"elasticity2d_{2**L(11,5)-1}sq",
+         build(_elasticity, lambda p: std_v(p, omega=1.25), f32),
+         "2x2 system, collective RB 1.25"),
+        (f"helmholtz2d_{2**L(11,5)-1}sq",
+         build(_helmholtz, lambda p: std_v(p, omega=0.6), np.complex64),
+         "complex shifted-Laplace preconditioner cycle, RB 0.6"),
+        (f"fas2d_{2**L(10,5)-1}sq",
+         build(_fas, _fas_v, f32), "nonlinear FAS, Newton-Jacobi 0.8"),
+    ]
+
+
 def main():
+    import argparse
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--case", default=None,
+                        help="run ONE named case in-process (the no-flag "
+                             "path spawns one subprocess per case so a "
+                             "wedged backend costs one case, not the suite)")
+    parser.add_argument("--no-subprocess", action="store_true")
+    args = parser.parse_args()
+
+    specs = case_specs()
+    if args.case is None and not args.no_subprocess:
+        return run_all_in_subprocesses(specs)
+
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp  # noqa: F401
 
-    from evostencils_tpu.problems.poisson import (poisson_2d, poisson_3d,
-                                                  poisson_2d_variable)
-    from evostencils_tpu.problems.elasticity import linear_elasticity_2d
-    from evostencils_tpu.problems.helmholtz import helmholtz_2d
-    from evostencils_tpu.problems.fas import fas_2d_basic
-    from evostencils_tpu.compiler.cycles import v_cycle, fas_v_cycle
-    from evostencils_tpu.compiler.lower import lower_cycle
-    from evostencils_tpu.ir import partitioning as part
-
     print(f"[suite] device: {jax.devices()[0]}", file=sys.stderr)
-
-    cases = []
-
-    def add_case(name, problem, cycle_builder, dtype, note=""):
-        problem.dtype = dtype
-        cycle = cycle_builder(problem)
-        low = lower_cycle(cycle, problem.approximation, problem.rhs_entity)
-        b = problem.build_rhs()
-        n_dof = sum(int(np.prod(g.size)) for g in problem.finest_grid)
-        cases.append((name, low, b, n_dof, note))
-
-    def std_v(problem, omega=1.15, partitioning=part.RedBlack):
-        return v_cycle(problem.level_contexts, problem.rhs_entity,
-                       pre_smoothing=2, post_smoothing=1, omega=omega,
-                       partitioning=partitioning,
-                       coarse_operator=problem.coarsest_operator)
-
-    import os
-    small = bool(os.environ.get("BENCH_SUITE_SMALL"))
-    L = (lambda big, tiny: tiny if small else big)
-
-    f32 = np.float32
-    add_case(f"poisson2d_{2**L(12,5)-1}sq",
-             poisson_2d(max_level=L(12, 5), min_level=L(5, 3)),
-             std_v, f32, "reference solver block, RB-GS 1.15")
-    add_case(f"poisson3d_{2**L(8,4)-1}cube",
-             poisson_3d(max_level=L(8, 4), min_level=2),
-             std_v, f32, "7-point, RB-GS 1.15")
-    add_case(f"poisson2d_var_{2**L(11,5)-1}sq",
-             poisson_2d_variable(max_level=L(11, 5), min_level=L(5, 3)),
-             lambda p: std_v(p, omega=0.8, partitioning=part.Single),
-             f32, "variable coefficients, Jacobi 0.8")
-    add_case(f"elasticity2d_{2**L(11,5)-1}sq",
-             linear_elasticity_2d(max_level=L(11, 5), min_level=L(4, 3)),
-             lambda p: std_v(p, omega=1.25),
-             f32, "2x2 system, collective RB 1.25")
-    add_case(f"helmholtz2d_{2**L(11,5)-1}sq",
-             helmholtz_2d(max_level=L(11, 5), min_level=3),
-             lambda p: std_v(p, omega=0.6), np.complex64,
-             "complex shifted-Laplace preconditioner cycle, RB 0.6")
-    add_case(f"fas2d_{2**L(10,5)-1}sq",
-             fas_2d_basic(max_level=L(10, 5), min_level=L(6, 3)),
-             lambda p: fas_v_cycle(p.level_contexts, p.rhs_entity,
-                                   coarse_operator=p.coarsest_operator),
-             f32, "nonlinear FAS, Newton-Jacobi 0.8")
+    if args.case is not None:
+        specs = [s for s in specs if s[0] == args.case]
+        if not specs:
+            print(f"unknown case {args.case}", file=sys.stderr)
+            return 2
 
     import math
     from evostencils_tpu.compiler.solve import make_solver
@@ -169,7 +215,13 @@ def main():
         return k, rho, deep
 
     results = {}
-    for name, low, b, n_dof, note in cases:
+    for name, build_case, note in specs:
+        try:
+            low, b, n_dof = build_case()
+        except Exception as e:
+            print(f"{name}: BUILD FAILED {type(e).__name__}: "
+                  f"{str(e)[:140]}", flush=True)
+            continue
         om_dtype = (np.float32 if b[0].dtype != np.complex64
                     else np.complex64)
         try:
@@ -189,14 +241,48 @@ def main():
         dofs = n_dof / t
         results[name] = {"cycle_ms": t * 1e3, "dof_per_s": dofs,
                          "iters_1e5": iters, "rho": rho,
-                         "extrapolated_iters_1e12": deep}
+                         "extrapolated_iters_1e12": deep,
+                         "n_dof": n_dof, "note": note,
+                         "compile_s": comp}
         print(f"{name:28s} {n_dof:>12d} DoF  {t*1e3:8.3f} ms/cycle  "
               f"{dofs:.3e} DoF/s  rho={rho:.3f} it(1e-5)={iters} "
               f"it(1e-12)~{deep:.0f}  (compile {comp:.0f}s)  # {note}",
               flush=True)
 
     print(json.dumps(results))
+    return 0
+
+
+def run_all_in_subprocesses(specs):
+    """One subprocess per case: a wedged backend (e.g. the relay's
+    UNIMPLEMENTED burst after a rejected compile) costs that case only."""
+    import subprocess
+    results = {}
+    for name, _, note in specs:
+        cmd = [sys.executable, str(pathlib.Path(__file__).resolve()),
+               "--case", name]
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=3000)
+        except subprocess.TimeoutExpired:
+            print(f"{name}: TIMEOUT (3000s)", flush=True)
+            continue
+        out = proc.stdout.strip().splitlines()
+        sys.stderr.write(proc.stderr[-2000:])
+        table = [ln for ln in out if not ln.startswith("{")]
+        for ln in table:
+            print(ln, flush=True)
+        blobs = [ln for ln in out if ln.startswith("{")]
+        if blobs:
+            try:
+                results.update(json.loads(blobs[-1]))
+            except json.JSONDecodeError:
+                pass
+        if proc.returncode != 0 and not blobs:
+            print(f"{name}: subprocess rc={proc.returncode}", flush=True)
+    print(json.dumps(results))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
