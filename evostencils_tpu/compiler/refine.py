@@ -131,6 +131,13 @@ def make_refined_solver(lowered: LoweredCycle, *,
     ``inner_cycles`` (rho^m < eps is wasted work: m ~ 2-3 for bf16 at
     rho ~ 0.05).  The residual is always measured in df64, so the outer
     loop is exact regardless of the inner precision.
+
+    CAUTION (TPU, 2026-08-21): build ``lowered`` with
+    ``config.use_pallas_kernels = False`` when using bf16 inner cycles —
+    the Mosaic-lowered fused kernels produce divergent output for
+    bfloat16 inputs on hardware (x100 residual growth per outer step;
+    interpret mode and the XLA path are correct).  See
+    scripts/deep_solve.py for the pattern.
     """
     st = _constant_scalar_stencil(lowered)
     radius = st.max_offsets
