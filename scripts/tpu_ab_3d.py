@@ -1,6 +1,9 @@
 """A/B: generic XLA path vs fused 3D Pallas sweeps on TPU (3D Poisson)."""
 
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import time
 
 import numpy as np

@@ -1,6 +1,9 @@
 """A/B: plain step-scan vs inter-iteration fused cycle loop on TPU."""
 
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import time
 
 import numpy as np

@@ -1,7 +1,10 @@
 """Tune the mega-kernel row-block size for the fused solve loop."""
 
 import functools
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import time
 
 import numpy as np

@@ -1,6 +1,9 @@
 """A/B the bench V-cycle column-transfer modes on TPU."""
 
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import time
 
 import numpy as np

@@ -1,7 +1,10 @@
 """A/B: generic StencilField XLA path vs fused variable-coefficient
 Pallas sweeps on TPU (variable-coefficient 2D Poisson)."""
 
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import time
 
 import numpy as np

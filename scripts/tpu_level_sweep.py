@@ -1,7 +1,10 @@
 """Cycle time vs max_level: separates fine-level HBM cost from fixed
 per-level launch overheads (t(L) ~= overhead + c*4^L)."""
 
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import time
 
 import numpy as np

@@ -7,7 +7,10 @@ kernel, and the full cycle, at the bench size (max_level=12, 4097^2).
 Run alone (single-client TPU tunnel): python scripts/tpu_profile_legs.py
 """
 
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import time
 
 import numpy as np
