@@ -400,6 +400,11 @@ def restrict(stencil: Stencil, u_fine):
             for k, v in enumerate(vectors):
                 out = axis_restrict_3tap(out, k, tuple(v))
             return out
+        # NOTE: this dense banded-matrix contraction is what lowered.step
+        # actually pays for transfers (config.column_transfers only reaches
+        # the fused-loop helpers lower._col_restrict/_col_prolong — A/B'd
+        # 2026-08-21, identical checksums).  A bf16 contraction here is
+        # worth ~0.15 ms/cycle on the 4095^2 headline (BASELINE.md).
         mats = [_restriction_axis_matrix(v, r, n, m)
                 for v, r, n, m in zip(vectors, radii, nf, nc)]
         return _axis_contract(u_fine, mats)
