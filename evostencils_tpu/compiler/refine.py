@@ -132,12 +132,11 @@ def make_refined_solver(lowered: LoweredCycle, *,
     rho ~ 0.05).  The residual is always measured in df64, so the outer
     loop is exact regardless of the inner precision.
 
-    CAUTION (TPU, 2026-08-21): build ``lowered`` with
-    ``config.use_pallas_kernels = False`` when using bf16 inner cycles —
-    the Mosaic-lowered fused kernels produce divergent output for
-    bfloat16 inputs on hardware (x100 residual growth per outer step;
-    interpret mode and the XLA path are correct).  See
-    scripts/deep_solve.py for the pattern.
+    (History, TPU 2026-08-21: all-bf16 in-kernel arithmetic diverged on
+    hardware — x100 residual growth per outer step while interpret mode
+    was fine.  The Pallas kernels now load storage dtype but COMPUTE in
+    f32 with f32 SMEM scalars — bf16 halves HBM traffic, the VPU math
+    stays exact — and the bf16+Pallas path converges on chip.)
     """
     st = _constant_scalar_stencil(lowered)
     radius = st.max_offsets

@@ -48,14 +48,18 @@ def _sweep_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_ref, omega_ref,
     i = pl.program_id(0)
     R = block_rows
     m = u_curr_ref.shape[1]
-    u = u_curr_ref[:]
-    b = b_ref[:]
+    # f32 compute regardless of storage dtype (bf16 in-kernel arithmetic
+    # diverges on hardware — BASELINE.md 2026-08-21; identity for f32)
+    u = u_curr_ref[:].astype(jnp.float32)
+    b = b_ref[:].astype(jnp.float32)
 
     # row neighbors: up[r] = u[global r-1], down[r] = u[global r+1];
     # the halo views are 8-row blocks (TPU tiling), the needed row is the
     # last/first row respectively
-    up = jnp.concatenate([u_prev_ref[7:8, :], u[:-1, :]], axis=0)
-    down = jnp.concatenate([u[1:, :], u_next_ref[0:1, :]], axis=0)
+    up = jnp.concatenate([u_prev_ref[7:8, :].astype(jnp.float32),
+                          u[:-1, :]], axis=0)
+    down = jnp.concatenate([u[1:, :],
+                            u_next_ref[0:1, :].astype(jnp.float32)], axis=0)
     row0 = i * R
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, m), 0) + row0
 
@@ -79,7 +83,7 @@ def _sweep_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_ref, omega_ref,
         # node parity: interior (i, j) is node (i+1, j+1)
         mask = ((row_ids + col_ids) % 2) == parity
         update = jnp.where(mask, update, 0.0)
-    out_ref[:] = jnp.where(valid, u + update, u)
+    out_ref[:] = jnp.where(valid, u + update, u).astype(out_ref.dtype)
 
 
 def _sweep_call(u, b, omega, *, stencil_vals, dinv, parity,
@@ -117,7 +121,7 @@ def _sweep_call(u, b, omega, *, stencil_vals, dinv, parity,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
         interpret=interpret,
-    )(u, u, u, b, omega.reshape(1, 1).astype(u.dtype))
+    )(u, u, u, b, omega.reshape(1, 1).astype(jnp.float32))
 
 
 def five_point_values(stencil) -> Optional[Tuple[float, ...]]:
@@ -173,12 +177,16 @@ def _fused_rb_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
     # zero out-of-window neighbors; their updated values are only ever used
     # as neighbors of rows whose output is itself discarded, so the final
     # out slice is exact.
+    # f32 compute regardless of storage dtype (bf16 in-kernel arithmetic
+    # diverges on hardware — BASELINE.md 2026-08-21; identity for f32)
     u_full = jnp.concatenate([u_prev_ref[6:8, :], u_curr_ref[:],
-                              u_next_ref[0:2, :]], axis=0)       # (W, m)
+                              u_next_ref[0:2, :]],
+                             axis=0).astype(jnp.float32)         # (W, m)
     gid = jax.lax.broadcasted_iota(jnp.int32, (W, m), 0) + r0 - 2
     u_full = jnp.where((gid >= 0) & (gid < n_rows), u_full, 0.0)
     b_full = jnp.concatenate([b_prev_ref[6:8, :], b_curr_ref[:],
-                              b_next_ref[0:2, :]], axis=0)       # (W, m)
+                              b_next_ref[0:2, :]],
+                             axis=0).astype(jnp.float32)         # (W, m)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (W, m), 1)
     valid = (gid >= 0) & (gid < n_rows)
@@ -198,7 +206,7 @@ def _fused_rb_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
         return u + jnp.where(masks[parity], upd, 0.0)
 
     u_blk = halfsweep(halfsweep(u_full, 0), 1)
-    out_ref[:] = u_blk[2:R + 2]
+    out_ref[:] = u_blk[2:R + 2].astype(out_ref.dtype)
 
 
 def fused_rbgs_sweep(u, b, omega, stencil_vals, dinv, interpret=False):
@@ -238,4 +246,4 @@ def fused_rbgs_sweep(u, b, omega, stencil_vals, dinv, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
         interpret=interpret,
-    )(u, u, u, b, b, b, omega.reshape(1, 1).astype(u.dtype))
+    )(u, u, u, b, b, b, omega.reshape(1, 1).astype(jnp.float32))

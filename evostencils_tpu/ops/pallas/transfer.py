@@ -70,10 +70,14 @@ def _rr_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref, b_curr_ref,
     W = 2 * Rc + 4
     f0 = i * (2 * Rc)          # first fine row of the main block
 
+    # f32 compute regardless of storage dtype (bf16 in-kernel arithmetic
+    # diverges on hardware — BASELINE.md 2026-08-21; identity for f32)
     u_full = jnp.concatenate([u_prev_ref[6:8, :], u_curr_ref[:],
-                              u_next_ref[0:2, :]], axis=0)        # (W, m)
+                              u_next_ref[0:2, :]],
+                             axis=0).astype(jnp.float32)          # (W, m)
     b_full = jnp.concatenate([b_prev_ref[6:8, :], b_curr_ref[:],
-                              b_next_ref[0:2, :]], axis=0)
+                              b_next_ref[0:2, :]],
+                             axis=0).astype(jnp.float32)
     gid = jax.lax.broadcasted_iota(jnp.int32, (W, m), 0) + f0 - 2
     valid = (gid >= 0) & (gid < n_rows)
     u_full = jnp.where(valid, u_full, 0.0)
@@ -93,7 +97,7 @@ def _rr_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref, b_curr_ref,
     ev = body[:, 0, :]                       # fine rows 2ic
     od = body[:, 1, :]                       # fine rows 2ic+1
     ev_next = jnp.concatenate([ev[1:], r[2 + 2 * Rc:3 + 2 * Rc]], axis=0)
-    out_ref[:] = wm1 * ev + w0 * od + wp1 * ev_next
+    out_ref[:] = (wm1 * ev + w0 * od + wp1 * ev_next).astype(out_ref.dtype)
 
 
 def residual_rowrestrict(u, b, stencil_vals, row_taps, interpret=False):
@@ -148,17 +152,22 @@ def _pc_kernel(u_ref, c_prev_ref, c_curr_ref, omega_ref, out_ref, *,
     Rc = R // 2
     i0 = i * Rc                              # first coarse row
 
-    cm = c_curr_ref[:]                       # (Rc, m) coarse rows i0..
+    # compute in f32 regardless of storage dtype (bf16 in-kernel
+    # arithmetic/SMEM scalars diverge on hardware — BASELINE.md 2026-08-21;
+    # for f32 inputs every astype below is an identity at trace time)
+    cm = c_curr_ref[:].astype(jnp.float32)   # (Rc, m) coarse rows i0..
     cgid = jax.lax.broadcasted_iota(jnp.int32, (Rc, m), 0) + i0
     cm = jnp.where(cgid < nc_rows, cm, 0.0)
-    cprev = jnp.concatenate([c_prev_ref[7:8, :], cm[:-1, :]], axis=0)
+    cprev = jnp.concatenate(
+        [c_prev_ref[7:8, :].astype(jnp.float32), cm[:-1, :]], axis=0)
     cprev = jnp.where(cgid - 1 >= 0, cprev, 0.0)
 
     evn = wp1 * cprev + wm1 * cm             # fine rows 2(i0+t)
     odd = w0 * cm                            # fine rows 2(i0+t)+1
     corr = jnp.stack([evn, odd], axis=1).reshape(R, m)
     omega = omega_ref[0, 0]
-    out_ref[:] = u_ref[:] + omega * corr
+    out = u_ref[:].astype(jnp.float32) + omega * corr
+    out_ref[:] = out.astype(out_ref.dtype)
 
 
 def prolong_row_correct(u, c_half, omega, row_taps, interpret=False):
@@ -217,10 +226,12 @@ def _smooth_rr_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
     W = 2 * Rc + 16
     f0 = i * (2 * Rc)
 
+    # f32 compute regardless of storage dtype (bf16 in-kernel arithmetic
+    # diverges on hardware — BASELINE.md 2026-08-21; identity for f32)
     u = jnp.concatenate([u_prev_ref[:], u_curr_ref[:], u_next_ref[:]],
-                        axis=0)                                   # (W, m)
+                        axis=0).astype(jnp.float32)               # (W, m)
     b = jnp.concatenate([b_prev_ref[:], b_curr_ref[:], b_next_ref[:]],
-                        axis=0)
+                        axis=0).astype(jnp.float32)
     gid = jax.lax.broadcasted_iota(jnp.int32, (W, m), 0) + f0 - 8
     col = jax.lax.broadcasted_iota(jnp.int32, (W, m), 1)
     valid = (gid >= 0) & (gid < n_rows)
@@ -257,12 +268,12 @@ def _smooth_rr_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
 
     r = jnp.where(valid, b - a_of(u), 0.0)
 
-    us_ref[:] = u[8:8 + 2 * Rc]
+    us_ref[:] = u[8:8 + 2 * Rc].astype(us_ref.dtype)
     body = r[8:8 + 2 * Rc].reshape(Rc, 2, m)
     ev = body[:, 0, :]
     od = body[:, 1, :]
     ev_next = jnp.concatenate([ev[1:], r[8 + 2 * Rc:9 + 2 * Rc]], axis=0)
-    out_ref[:] = wm1 * ev + w0 * od + wp1 * ev_next
+    out_ref[:] = (wm1 * ev + w0 * od + wp1 * ev_next).astype(out_ref.dtype)
 
 
 def presmooth_residual_rowrestrict(u, b, omegas, stencil_vals, row_taps,
@@ -300,7 +311,8 @@ def presmooth_residual_rowrestrict(u, b, omegas, stencil_vals, row_taps,
     spec_next = pl.BlockSpec(
         (H, m), lambda i: (jnp.minimum((i * RF + RF) // H, n8 - 1), 0),
         memory_space=pltpu.VMEM)
-    om = jnp.stack([jnp.asarray(o, u.dtype) for o in omegas]).reshape(1, S)
+    om = jnp.stack([jnp.asarray(o, jnp.float32)
+                for o in omegas]).reshape(1, S)
     u_s, rr = pl.pallas_call(
         kernel,
         grid=grid,
@@ -340,10 +352,12 @@ def _pc_smooth_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
     Rc = R // 2
     i0 = i * Rc
 
+    # f32 compute regardless of storage dtype (bf16 in-kernel arithmetic
+    # diverges on hardware — BASELINE.md 2026-08-21; identity for f32)
     u = jnp.concatenate([u_prev_ref[:], u_curr_ref[:], u_next_ref[:]],
-                        axis=0)                                    # (W, m)
+                        axis=0).astype(jnp.float32)                # (W, m)
     b = jnp.concatenate([b_prev_ref[:], b_curr_ref[:], b_next_ref[:]],
-                        axis=0)
+                        axis=0).astype(jnp.float32)
     gid = jax.lax.broadcasted_iota(jnp.int32, (W, m), 0) + f0 - 8
     col = jax.lax.broadcasted_iota(jnp.int32, (W, m), 1)
     valid = (gid >= 0) & (gid < n_rows)
@@ -352,7 +366,8 @@ def _pc_smooth_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
     # coarse window rows i0-4 .. i0+Rc+3
     Rcw = Rc + 8
     c = jnp.concatenate([c_prev_ref[4:8, :], c_curr_ref[:],
-                         c_next_ref[0:4, :]], axis=0)              # (Rcw, m)
+                         c_next_ref[0:4, :]],
+                        axis=0).astype(jnp.float32)                # (Rcw, m)
     cgid = jax.lax.broadcasted_iota(jnp.int32, (Rcw, m), 0) + i0 - 4
     c = jnp.where((cgid >= 0) & (cgid < nc_rows), c, 0.0)
     zc1 = jnp.zeros((1, m), c.dtype)
@@ -382,7 +397,7 @@ def _pc_smooth_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
                                      + dn_ * left + ds * right))
             u = u + jnp.where(masks[parity], upd, 0.0)
 
-    out_ref[:] = u[8:8 + R]
+    out_ref[:] = u[8:8 + R].astype(out_ref.dtype)
 
 
 def prolong_correct_postsmooth(u, c_half, b, omegas, stencil_vals, row_taps,
@@ -428,7 +443,8 @@ def prolong_correct_postsmooth(u, c_half, b, omegas, stencil_vals, row_taps,
     spec_cnext = pl.BlockSpec(
         (H, m), lambda i: (jnp.minimum((i * Rc + Rc) // H, n8c - 1), 0),
         memory_space=pltpu.VMEM)
-    om = jnp.stack([jnp.asarray(o, u.dtype) for o in omegas]).reshape(1, S + 1)
+    om = jnp.stack([jnp.asarray(o, jnp.float32)
+                for o in omegas]).reshape(1, S + 1)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -469,10 +485,12 @@ def _vleg_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref, b_curr_ref,
     Rc = R // 2
     i0 = i * Rc
 
+    # f32 compute regardless of storage dtype (bf16 in-kernel arithmetic
+    # diverges on hardware — BASELINE.md 2026-08-21; identity for f32)
     u = jnp.concatenate([u_prev_ref[:], u_curr_ref[:], u_next_ref[:]],
-                        axis=0)                                  # (W, m)
+                        axis=0).astype(jnp.float32)              # (W, m)
     b = jnp.concatenate([b_prev_ref[:], b_curr_ref[:], b_next_ref[:]],
-                        axis=0)
+                        axis=0).astype(jnp.float32)
     gid = jax.lax.broadcasted_iota(jnp.int32, (W, m), 0) + f0 - 16
     col = jax.lax.broadcasted_iota(jnp.int32, (W, m), 1)
     valid = (gid >= 0) & (gid < n_rows)
@@ -481,7 +499,7 @@ def _vleg_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref, b_curr_ref,
     # coarse window rows i0-8 .. i0+Rc+7 -> fine rows f0-16 .. f0+R+15
     Rcw = Rc + 16
     c = jnp.concatenate([c_prev_ref[:], c_curr_ref[:], c_next_ref[:]],
-                        axis=0)                                  # (Rcw, m)
+                        axis=0).astype(jnp.float32)              # (Rcw, m)
     cgid = jax.lax.broadcasted_iota(jnp.int32, (Rcw, m), 0) + i0 - 8
     c = jnp.where((cgid >= 0) & (cgid < nc_rows), c, 0.0)
     zc1 = jnp.zeros((1, m), c.dtype)
@@ -516,12 +534,12 @@ def _vleg_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref, b_curr_ref,
     au = (c_center * u + c_w * up + c_e * dn + c_n * left + c_s * right)
     r = jnp.where(valid, b - au, 0.0)
 
-    us_ref[:] = u[16:16 + R]
+    us_ref[:] = u[16:16 + R].astype(us_ref.dtype)
     body = r[16:16 + R].reshape(Rc, 2, m)
     ev = body[:, 0, :]
     od = body[:, 1, :]
     ev_next = jnp.concatenate([ev[1:], r[16 + R:17 + R]], axis=0)
-    rr_ref[:] = wm1 * ev + w0 * od + wp1 * ev_next
+    rr_ref[:] = (wm1 * ev + w0 * od + wp1 * ev_next).astype(rr_ref.dtype)
 
 
 def upleg_downleg_fused(u, c_half, b, omegas, stencil_vals, p_taps, r_taps,
@@ -569,7 +587,8 @@ def upleg_downleg_fused(u, c_half, b, omegas, stencil_vals, p_taps, r_taps,
     spec_cnext = pl.BlockSpec(
         (Hc, m), lambda i: (jnp.minimum((i * Rc + Rc) // Hc, nHc - 1), 0),
         memory_space=pltpu.VMEM)
-    om = jnp.stack([jnp.asarray(o, u.dtype) for o in omegas]).reshape(1, S + 1)
+    om = jnp.stack([jnp.asarray(o, jnp.float32)
+                for o in omegas]).reshape(1, S + 1)
     u_s, rr = pl.pallas_call(
         kernel,
         grid=grid,

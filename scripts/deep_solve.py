@@ -75,25 +75,15 @@ def main():
           f"measured over 4 cycles)", file=sys.stderr)
 
     # ---- same solve with bf16 inner cycles (mixed-precision MG) -----------
-    # XLA path for the bf16 cycles: the Mosaic-lowered Pallas kernels
-    # produce divergent output for bfloat16 inputs on hardware (measured
-    # 2026-08-21: x100 residual growth per outer step; interpret mode and
-    # the XLA path are correct) — keep Pallas off for bf16 until the
-    # kernels' bf16 lowering is fixed
-    from evostencils_tpu.config import config as es_config
-    old_pallas = es_config.use_pallas_kernels
-    es_config.use_pallas_kernels = False
-    try:
-        low_xla = lower_cycle(cycle, problem.approximation,
-                              problem.rhs_entity)
-        bf_solve = make_refined_solver(low_xla, inner_cycles=3, max_outer=16,
-                                       target_reduction=1e-12,
-                                       inner_dtype=jnp.bfloat16)
-        t0 = time.perf_counter()
-        bres = bf_solve(b)
-        tb = time.perf_counter() - t0
-    finally:
-        es_config.use_pallas_kernels = old_pallas
+    # the Pallas kernels store bf16 but compute f32 in-VMEM (all-bf16
+    # kernel arithmetic diverged on hardware, fixed 2026-08-21), so the
+    # bf16 path runs the same fused kernels at half the HBM bytes
+    bf_solve = make_refined_solver(lowered, inner_cycles=3, max_outer=16,
+                                   target_reduction=1e-12,
+                                   inner_dtype=jnp.bfloat16)
+    t0 = time.perf_counter()
+    bres = bf_solve(b)
+    tb = time.perf_counter() - t0
     brels = [r / bres.residuals[0] for r in bres.residuals]
     print(f"[deep] poisson2d bf16-inner: converged={bres.converged} "
           f"outer={bres.outer_iterations} time={tb:.2f}s "
