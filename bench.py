@@ -167,6 +167,26 @@ def main():
     print(f"[bench] solve to 1e-5: {iters} iterations, rho(first {k})={rho:.4f}",
           file=sys.stderr)
 
+    # --- device-numerics probe ---------------------------------------------
+    # The timed K-cycle device state and the CPU solve both sit at the
+    # cycle's fixed point (within the f32 floor), so one mid row of the
+    # device solution must match the CPU solution to ~solver tolerance.
+    # This catches device-only Pallas numerics regressions (the bf16
+    # in-kernel divergence class, BASELINE.md) that the one-element
+    # timing checksum and the CPU-only convergence check would both miss.
+    mid = u[0].shape[0] // 2
+    row_dev = np.asarray(jax.device_get(u[0][mid]))        # 16 KB fetch
+    row_cpu = np.asarray(jax.device_get(u_s[0][mid]))
+    scale = float(np.max(np.abs(row_cpu))) or 1.0
+    row_err = float(np.max(np.abs(row_dev - row_cpu))) / scale
+    print(f"[bench] device-vs-CPU solution row error: {row_err:.2e}",
+          file=sys.stderr)
+    if not np.isfinite(row_err) or row_err > 1e-3:
+        print("[bench] WARNING: device solution diverges from CPU "
+              "reference — device numerics are broken, refusing to report",
+              file=sys.stderr)
+        sys.exit(1)
+
     # --- reference machine model for the same cycle -------------------------
     ref_cycle_time = PerformanceEvaluator(REFERENCE_CPU).estimate_runtime(cycle)
     vs_baseline = ref_cycle_time / cycle_time

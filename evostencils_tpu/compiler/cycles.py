@@ -47,11 +47,20 @@ def v_cycle(levels: Sequence[LevelContext], rhs, *,
             smoother_factory: Callable = smoother.generate_collective_jacobi,
             coarse_solver_expression=None,
             coarse_operator: Optional[system.Operator] = None,
+            coarse_krylov: Optional[str] = None,
+            coarse_krylov_iterations: int = 64,
             gamma: int = 1) -> base.Cycle:
     """Build a V-cycle (gamma=1) or W-cycle (gamma=2) expression tree.
 
     ``levels[0]`` is the finest level; ``coarse_operator`` is the operator on
     the grid below ``levels[-1]`` (the coarsest-grid solve target).
+
+    ``coarse_krylov`` selects an iterative Krylov coarse solve instead of
+    the CoarseGridSolver node: one of "CG" | "BiCGStab" | "MinRes" |
+    "ConjugateResidual", lowered to a fixed-iteration jitted body
+    (ops/solvers.FIXED_KRYLOV) — the native counterpart of the reference
+    default solver's `cgs cg` block
+    (example_problems/Poisson/2D_FD_Poisson_fromL2.exa3:5-9).
     """
 
     def build(level_idx: int, u, f, predecessor=None):
@@ -75,7 +84,12 @@ def v_cycle(levels: Sequence[LevelContext], rhs, *,
             op_c = coarse_operator
             if op_c is None:
                 raise ValueError("coarsest-level operator required")
-            cgs = base.CoarseGridSolver(op_c, coarse_solver_expression)
+            if coarse_krylov is not None:
+                from ..ir.krylov import KrylovSubspaceMethod
+                cgs = KrylovSubspaceMethod(coarse_krylov, op_c,
+                                           coarse_krylov_iterations)
+            else:
+                cgs = base.CoarseGridSolver(op_c, coarse_solver_expression)
             correction_c = base.Multiplication(cgs, f_c)
             correction = base.Multiplication(level.prolongation, correction_c)
         cycle = base.Cycle(u_s, f, correction, relaxation_factor=1.0,

@@ -575,6 +575,11 @@ class _Lowering:
         entry, residual = found
         if _nonlinear_of(entry) is not None or x[0].ndim != 2:
             return None
+        if _stencil_field_of(entry) is not None:
+            # variable coefficients (Robin-folded boundary columns): the
+            # constant-stencil kernel would compute the residual with the
+            # interior stencil everywhere — wrong on the boundary columns
+            return None
         st = entry.generate_stencil()
         from ..stencils.constant import Stencil as _CS
         if not isinstance(st, _CS):
@@ -831,10 +836,17 @@ class _Lowering:
         b = self.eval_function(plan["res"].rhs)
         u = x[0]
         omegas = [self.omegas[c.global_id] for c in reversed(plan["sweeps"])]
-        u_s, rr = ptransfer.presmooth_residual_rowrestrict(
-            u, b[0], omegas, plan["vals"], taps[0],
-            interpret=pallas_interpret())
-        result = ((u_s,), (_col_restrict(rr, taps[1], u.shape[1]),))
+        from ..config import fused_cols_enabled
+        if fused_cols_enabled():
+            u_s, rc = ptransfer.presmooth_residual_restrict(
+                u, b[0], omegas, plan["vals"], taps,
+                interpret=pallas_interpret())
+            result = ((u_s,), (rc,))
+        else:
+            u_s, rr = ptransfer.presmooth_residual_rowrestrict(
+                u, b[0], omegas, plan["vals"], taps[0],
+                interpret=pallas_interpret())
+            result = ((u_s,), (_col_restrict(rr, taps[1], u.shape[1]),))
         self._super_results[key] = result
         return result
 
@@ -861,6 +873,11 @@ class _Lowering:
         b = self.eval_function(plan["rhs"])
         omegas = [self.omegas[cgc.global_id]] + \
             [self.omegas[c.global_id] for c in reversed(plan["sweeps"])]
+        from ..config import fused_cols_enabled
+        if fused_cols_enabled():
+            return (ptransfer.prolong_correct_postsmooth_col(
+                u, e[0].astype(u.dtype), b[0], omegas, plan["vals"], taps,
+                interpret=pallas_interpret()),)
         c_half = _col_prolong(e[0], taps[1], m)
         return (ptransfer.prolong_correct_postsmooth(
             u, c_half, b[0], omegas, plan["vals"], taps[0],
@@ -1122,6 +1139,14 @@ class _Lowering:
             ps = periodic.as_periodic(entry.generate_stencil())
             inv = periodic.inverse(periodic.diagonal(ps))
             return (ops.apply_stencil(inv, fields[0]),)
+        # pointwise-varying central coefficients (boundary-folded
+        # operators, e.g. split-complex Helmholtz Robin columns): solve
+        # the m x m system per grid point with the true local diagonal —
+        # the reference's `solve locally` uses the folded operator too
+        sfs = [[_stencil_field_of(op.entries[i][j]) for j in range(m)]
+               for i in range(m)]
+        if any(sf is not None for row in sfs for sf in row):
+            return self._pointwise_varying_inverse(op, sfs, fields)
         # constant central coefficients -> single m x m inverse
         D = np.zeros((m, m), dtype=np.complex128)
         is_complex = False
@@ -1150,6 +1175,47 @@ class _Lowering:
                 acc = term if acc is None else acc + term
             out.append(acc if acc is not None else jnp.zeros_like(fields[i]))
         return tuple(out)
+
+    def _pointwise_varying_inverse(self, op: system.Operator, sfs, fields):
+        """Collective point solve with position-dependent central
+        coefficients: D(x) y(x) = r(x) per grid point, D built from the
+        entries' diagonal fields (constant entries broadcast).  Closed
+        form for m == 2; batched linalg.solve otherwise."""
+        m = len(op.entries)
+        shape = fields[0].shape
+        dtype = fields[0].dtype
+        d = [[None] * m for _ in range(m)]
+        for i in range(m):
+            for j in range(m):
+                sf = sfs[i][j]
+                if sf is not None:
+                    arr = np.asarray(sf.diagonal_field())
+                else:
+                    ps = periodic.as_periodic(
+                        op.entries[i][j].generate_stencil())
+                    if ps is None:
+                        arr = np.zeros(shape)
+                    elif not ps.is_constant:
+                        raise NotImplementedError(
+                            "periodic collective point smoother not "
+                            "supported yet")
+                    else:
+                        arr = np.full(
+                            shape, ps.to_constant().value_at(
+                                (0,) * ps.dimension, 0))
+                if np.iscomplexobj(arr):
+                    dtype = jnp.promote_types(dtype, jnp.complex64)
+                d[i][j] = arr
+        d = [[jnp.asarray(a, dtype) for a in row] for row in d]
+        f = [x.astype(dtype) for x in fields]
+        if m == 2:
+            det = d[0][0] * d[1][1] - d[0][1] * d[1][0]
+            return ((d[1][1] * f[0] - d[0][1] * f[1]) / det,
+                    (d[0][0] * f[1] - d[1][0] * f[0]) / det)
+        D = jnp.stack([jnp.stack(row, axis=-1) for row in d], axis=-2)
+        r = jnp.stack(f, axis=-1)[..., None]
+        y = jnp.linalg.solve(D, r)[..., 0]
+        return tuple(y[..., i] for i in range(m))
 
     def _system_local_inverse(self, op: system.Operator, fields):
         """Invert a system operator whose entries are block-diagonal periodic
@@ -1215,7 +1281,14 @@ class _Lowering:
                 return cgs.expression(fields, self.omegas)
             return cgs.expression(fields)
         if self.cgs_override is not None:
-            return self.cgs_override(fields, self.omegas)
+            # FAS chunk boundary: the coarse solve starts from the
+            # restricted solution, not zero (reference FAS semantics,
+            # exastencils_FAS.py:121-147) — evaluate the CGS node's
+            # initial guess and hand it to the spliced coarser chunk
+            u0 = None
+            if getattr(cgs, "initial_guess", None) is not None:
+                u0 = self.eval_function(cgs.initial_guess)
+            return self.cgs_override(fields, self.omegas, u0)
         op = cgs.operator
         nl = _nonlinear_of(op)
         if nl is not None:
@@ -1293,16 +1366,19 @@ class ChainLink:
 
 
 def make_chain_applier(root, approximation, rhs, inner=None):
-    """Wrap a chunk cycle as ``fn(fields, omegas) -> fields`` starting from a
-    zero initial guess, with ``inner`` (same signature, or None) spliced into
-    its unsolved CoarseGridSolver nodes.  The omegas vector is the composed
-    program's full relaxation-factor vector, indexed by the global cycle ids
+    """Wrap a chunk cycle as ``fn(fields, omegas, initial_guess=None) ->
+    fields`` starting from a zero initial guess (or ``initial_guess`` —
+    the restricted solution a FAS chunk boundary hands down), with
+    ``inner`` (same signature, or None) spliced into its unsolved
+    CoarseGridSolver nodes.  The omegas vector is the composed program's
+    full relaxation-factor vector, indexed by the global cycle ids
     previously assigned across all chunks (lower_composed)."""
 
-    def applier(fields, omegas):
+    def applier(fields, omegas, initial_guess=None):
         lowering = _Lowering(approximation, rhs, omegas, root=root,
                              cgs_override=inner)
-        u0 = tuple(jnp.zeros_like(f) for f in fields)
+        u0 = (tuple(initial_guess) if initial_guess is not None
+              else tuple(jnp.zeros_like(f) for f in fields))
         lowering.bind(u0, tuple(fields))
         return lowering.eval_function(root)
 

@@ -239,11 +239,18 @@ def make_refined_solver(lowered: LoweredCycle, *,
         — only two scalars cross the host link, not two full grids), and
         the correction.  The returned norm is the residual BEFORE the
         correction; the host decides convergence from it and simply
-        discards the last correction's state if already converged."""
+        discards the last correction's state if already converged.
+
+        The residual is scaled by its max abs before squaring: per-element
+        squares in the f32 hi word would overflow to inf for |r| >~ 1.8e19
+        and denormalize below ~1e-19, so unscaled df_norm2_sq would
+        mis-detect convergence on very large- or small-scaled problems."""
         rh, rl = residual_df(uh, ul, b)
-        n2h, n2l = df64.df_norm2_sq((rh, rl))
+        s = jnp.max(jnp.abs(rh))
+        s_safe = jnp.where(s > 0, s, 1.0)
+        n2h, n2l = df64.df_norm2_sq((rh / s_safe, rl / s_safe))
         nh, nl = correct(uh, ul, rh)
-        return nh, nl, n2h, n2l
+        return nh, nl, n2h, n2l, s_safe
 
     def solve(b, u0=None) -> RefineResult:
         uh = jnp.zeros_like(b) if u0 is None else jnp.asarray(u0)
@@ -254,8 +261,8 @@ def make_refined_solver(lowered: LoweredCycle, *,
         converged = False
         outer = 0
         for outer in range(1, max_outer + 1):
-            nh, nl, n2h, n2l = outer_step(uh, ul, b)
-            rnorm = float(np.sqrt(float(n2h) + float(n2l)))
+            nh, nl, n2h, n2l, s = outer_step(uh, ul, b)
+            rnorm = float(s) * float(np.sqrt(float(n2h) + float(n2l)))
             hist.append(rnorm)
             if rnorm <= target_reduction * bnorm:
                 converged = True
@@ -265,8 +272,8 @@ def make_refined_solver(lowered: LoweredCycle, *,
             # max_outer corrections applied; measure the last one's
             # residual so a solve that reaches the target on the final
             # correction reports converged=True
-            _, _, n2h, n2l = outer_step(uh, ul, b)
-            rnorm = float(np.sqrt(float(n2h) + float(n2l)))
+            _, _, n2h, n2l, s = outer_step(uh, ul, b)
+            rnorm = float(s) * float(np.sqrt(float(n2h) + float(n2l)))
             hist.append(rnorm)
             converged = rnorm <= target_reduction * bnorm
         return RefineResult(uh, ul, hist, outer, converged)

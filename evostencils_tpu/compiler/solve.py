@@ -112,12 +112,37 @@ def make_cycle_loop(lowered: LoweredCycle, n_cycles: int):
                 or not (1 <= len(plan.om_pre_ids) <= 3)
                 or not (1 <= len(plan.om_post_ids) <= 3)):
             return run_generic(u_fields, b_fields, omegas)
+        from ..config import fused_cols_enabled
+        fused_cols = fused_cols_enabled()
         interp = pallas_interpret()
         b = b_fields[0]
         m = u.shape[1]
         oms_pre = [omegas[i] for i in plan.om_pre_ids]
         oms_post = [omegas[i] for i in plan.om_post_ids]
         om_cgc = omegas[plan.om_cgc_id]
+
+        if fused_cols:
+            # column transfers live inside the leg kernels; the loop
+            # carries the raw coarse correction e (nc, mc)
+            def coarse(rc):
+                return tail(rc, u_fields, b_fields, omegas).astype(u.dtype)
+
+            u1, rc = ptransfer.presmooth_residual_restrict(
+                u, b, oms_pre, plan.vals, plan.r_taps, interpret=interp)
+
+            def body(carry, _):
+                u_k, e = carry
+                u2, rc2 = ptransfer.upleg_downleg_col(
+                    u_k, e, b, [om_cgc] + oms_post + oms_pre, plan.vals,
+                    plan.p_taps, plan.r_taps, interpret=interp)
+                return (u2, coarse(rc2)), None
+
+            (u_k, e), _ = lax.scan(body, (u1, coarse(rc)), None,
+                                   length=n_cycles - 1)
+            out = ptransfer.prolong_correct_postsmooth_col(
+                u_k, e, b, [om_cgc] + oms_post, plan.vals, plan.p_taps,
+                interpret=interp)
+            return (out,)
 
         def coarse(rr):
             rc = _col_restrict(rr, plan.r_taps[1], m)

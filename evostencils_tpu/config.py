@@ -53,6 +53,13 @@ class Config:
     #: None = auto ("matmul" on TPU, "banded" elsewhere); explicit values:
     #: "matmul" | "banded" | "conv" | "transpose" (see compiler/lower.py)
     column_transfers: Optional[str] = None
+    #: fuse the column (lane-axis) transfers INTO the Pallas leg kernels
+    #: (chunked MXU decimation / pltpu.repeat expansion,
+    #: ops/pallas/transfer.py lane-transfer section) instead of separate
+    #: dense banded GEMMs — removes ~0.39 ms/cycle of MXU work and halves
+    #: the leg<->tail intermediate HBM traffic on the 4095^2 headline
+    #: (BASELINE.md round-2 per-leg table).  None = auto (on)
+    fused_column_transfers: Optional[bool] = None
     #: fuse the finest-level up-leg of cycle k with the down-leg of cycle
     #: k+1 inside solve loops (compiler/solve.make_cycle_loop).  Saves a
     #: full read-u/read-b/write-u round trip per iteration but raises
@@ -72,6 +79,12 @@ def column_transfer_mode() -> str:
     if config.column_transfers is not None:
         return config.column_transfers
     return "banded" if banded_transfers_enabled() else "matmul"
+
+
+def fused_cols_enabled() -> bool:
+    if config.fused_column_transfers is not None:
+        return config.fused_column_transfers
+    return True
 
 
 def banded_transfers_enabled() -> bool:

@@ -121,31 +121,67 @@ class CycleEvaluator:
 
     def _make_outer_solver(self, lowered, expression, outer):
         """Outer Krylov solve with the evolved cycle as preconditioner
-        (reference Helmholtz PreconditionedBiCGStab)."""
+        (reference Helmholtz PreconditionedBiCGStab).  Split-complex
+        problems use the (re, im)-pair variant so the compiled program
+        stays real-typed (device-executable through the axon relay)."""
         from ..compiler.lower import operator_applier
-        from ..ops.solvers import preconditioned_bicgstab
+        from ..ops.solvers import (preconditioned_bicgstab,
+                                   preconditioned_bicgstab_split)
 
         matvec = operator_applier(outer.operator)
         max_iter = min(outer.max_iterations, self.max_iterations)
+        bicgstab = (preconditioned_bicgstab_split
+                    if getattr(outer, "split", False)
+                    else preconditioned_bicgstab)
 
         def solver(u0, b, omegas):
             def precond(fields):
                 zero = tuple(jnp.zeros_like(f) for f in fields)
                 return lowered.step(zero, fields, omegas)
 
-            x, k, hist = preconditioned_bicgstab(
+            x, k, hist = bicgstab(
                 matvec, precond, b, tol=outer.tolerance,
                 maxiter=max_iter, history_size=max_iter)
             return x, k, hist
 
         return jax.jit(solver)
 
+    _window_overhead_s: Optional[float] = None
+
+    def _window_overhead(self) -> float:
+        """Fixed dispatch+fetch overhead of one timed window (tens of ms
+        through the axon relay, BASELINE.md timing-infrastructure notes):
+        the time to fetch a small, already-computed, never-fetched buffer
+        is a pure host round trip.  Calibrated once per evaluator."""
+        if CycleEvaluator._window_overhead_s is None:
+            f = jax.jit(lambda x: (x + 1.0, x + 2.0))
+            y, spare = f(jnp.zeros((1,), jnp.float32))
+            float(np.asarray(y)[0])          # compile + first fetch
+            samples = []
+            for _ in range(3):
+                y, spare = f(y)              # chained: must execute
+                float(np.asarray(y)[0])      # close the dispatch window
+                t0 = time.perf_counter()
+                float(np.asarray(spare)[0])  # pure fetch round trip
+                samples.append(time.perf_counter() - t0)
+            CycleEvaluator._window_overhead_s = min(samples)
+        return CycleEvaluator._window_overhead_s
+
     def _measure_cycle_time(self, entry) -> float:
         """Per-iteration wall time of this structure, measured by re-running
         the already-compiled solver (the full converging solve — same
         protocol as the reference, which times the generated binary's whole
         run; exastencils.py:417-443).  No extra compilation: one XLA
-        program per structure is the evolution-loop latency budget."""
+        program per structure is the evolution-loop latency budget.
+
+        Device-timing hardening (BASELINE.md round-2 findings): the fixed
+        dispatch+fetch window overhead is calibrated and subtracted (it
+        would otherwise fold tens of ms into per-iteration fitness,
+        penalizing fast low-iteration structures), and the initial guess
+        chains on the previous sample's solution scaled to numerical
+        irrelevance (1e-35: below f32 ulp of b in the residual, so the
+        iteration trace is bit-identical) so no call can be served from an
+        identical-arguments cache."""
         if entry["cycle_time_ms"] is not None:
             return entry["cycle_time_ms"]
         lowered = entry["lowered"]
@@ -153,15 +189,26 @@ class CycleEvaluator:
                          if self.dtype == np.float32 else None)
         run = entry["solver"]
         out = run(self._u0, self._b, om)
+        x = out[0]
         jax.block_until_ready(jax.device_get(out[1]))   # compile + warm
+        overhead = self._window_overhead()
         times = []
         iters = 1
-        for _ in range(2):
+        for s in range(2):
+            u0 = jax.tree_util.tree_map(
+                lambda xi: jnp.nan_to_num(
+                    xi * jnp.asarray((s + 1) * 1e-35, xi.dtype),
+                    nan=0.0, posinf=0.0, neginf=0.0), x)
+            # force u0 to exist before opening the window (a one-element
+            # fetch synchronizes through the relay; block_until_ready only
+            # acknowledges enqueue)
+            float(np.abs(np.asarray(u0[0].ravel()[0])))
             t0 = time.perf_counter()
-            out = run(self._u0, self._b, om)
+            out = run(u0, self._b, om)
             iters = int(jax.device_get(out[1]))
-            times.append(time.perf_counter() - t0)
-        entry["cycle_time_ms"] = min(times) * 1e3 / max(iters, 1)
+            times.append(time.perf_counter() - t0 - overhead)
+            x = out[0]
+        entry["cycle_time_ms"] = max(min(times), 1e-9) * 1e3 / max(iters, 1)
         return entry["cycle_time_ms"]
 
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 import functools
 from typing import Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -201,7 +202,9 @@ def prolong_row_correct(u, c_half, omega, row_taps, interpret=False):
         out_shape=jax.ShapeDtypeStruct((n, m), u.dtype),
         interpret=interpret,
     )(u, c_half, c_half,
-      jnp.asarray(omega, u.dtype).reshape(1, 1))
+      # f32 SMEM scalar regardless of storage dtype: bf16 SMEM scalars /
+      # in-kernel arithmetic diverge on hardware (BASELINE.md 2026-08-21)
+      jnp.asarray(omega, jnp.float32).reshape(1, 1))
 
 
 # ---------------------------------------------------------------------------
@@ -613,3 +616,500 @@ def supports(u, stencil_vals=None) -> bool:
     return (u.ndim == 2 and u.dtype in (jnp.float32, jnp.bfloat16)
             and u.shape[0] >= 4 * _ROW_BLOCK_COARSE + 1
             and u.shape[1] >= 128 and u.shape[0] % 2 == 1)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel lane-axis (column) transfers
+# ---------------------------------------------------------------------------
+# Mosaic cannot restructure the lane (last) dimension with strided slices,
+# but two lane-tile-aligned forms cover both transfer directions:
+#
+# * 2:1 decimation (restriction) is a banded matmul on the MXU.  Chunked
+#   into 128-lane output tiles, every operand slice is lane-aligned:
+#   out[:, 128t+j] = sum_d taps[d] * r[:, 256t + 2j + d], i.e. each output
+#   chunk contracts three aligned 128-wide input chunks with the three row
+#   blocks of one shared constant (384, 128) matrix.
+# * 1:2 expansion (prolongation) is the transpose: each 256-lane output
+#   chunk is fed by coarse lanes [128q-1, 128q+127], i.e. two aligned
+#   128-wide input chunks contracted with two shared constant (128, 256)
+#   matrices.  (pltpu.repeat cannot do this: it is tile, not interleave,
+#   and Mosaic rejects lane-interleaving reshapes.)
+#
+# Fusing these into the leg kernels removes the separate dense banded
+# GEMMs (~0.39 ms/cycle on the 4095^2 headline, BASELINE.md per-leg table)
+# AND halves the HBM traffic of the leg<->tail intermediates: the
+# restricted residual is written at (nc, mc) instead of (nc, m), the
+# coarse correction read at (nc, mc).
+
+def restrict_lane_matrix(taps) -> np.ndarray:
+    """(384, 128) f32 matrix M with M[2j+d, j] = taps[d] — the shared
+    per-chunk operand of the 2:1 lane decimation (see module note)."""
+    m = np.zeros((384, 128), np.float32)
+    for j in range(128):
+        for d in range(3):
+            m[2 * j + d, j] = taps[d]
+    return m
+
+
+def _lane_restrict_block(r, rm_ref, m):
+    """Contract the lane axis of value ``r`` (R, m) 2:1 with the banded
+    3-tap matrix held in ``rm_ref`` (restrict_lane_matrix).  Returns
+    (R, (m-1)//2) in f32."""
+    r = r.astype(jnp.float32)
+    R = r.shape[0]
+    mc = (m - 1) // 2
+    nT = (mc + 127) // 128
+    chunks = []
+    for t in range(nT):
+        acc = None
+        for s in range(3):
+            lo = 256 * t + 128 * s
+            if lo >= m:
+                break
+            hi = min(lo + 128, m)
+            w = r[:, lo:hi]
+            if hi - lo < 128:
+                w = jnp.concatenate(
+                    [w, jnp.zeros((R, 128 - (hi - lo)), r.dtype)], axis=1)
+            d = jnp.dot(w, rm_ref[128 * s:128 * (s + 1), :],
+                        preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+        chunks.append(acc)
+    out = jnp.concatenate(chunks, axis=1)
+    return out[:, :mc]
+
+
+def prolong_lane_matrices(taps) -> np.ndarray:
+    """(2, 128, 256) f32 [main, prev] operands of the 1:2 lane expansion:
+    output chunk q (fine lanes 256q+j, j<256) = c[:, 128q:128q+128] @ main
+    + c[:, 128(q-1):128q] @ prev.  Fine lane 2i+1+o gets taps[o+1]*c[i]:
+    main[k, 2k+1+o] = taps[o+1] (i = 128q+k), prev[127, 0] = taps[2]
+    (the carry from i = 128q-1 into fine lane 256q)."""
+    pm1, p0, pp1 = (float(t) for t in taps)
+    main = np.zeros((128, 256), np.float32)
+    for k in range(128):
+        main[k, 2 * k] = pm1
+        main[k, 2 * k + 1] = p0
+        if 2 * k + 2 < 256:
+            main[k, 2 * k + 2] = pp1
+    prev = np.zeros((128, 256), np.float32)
+    prev[127, 0] = pp1
+    return np.stack([main, prev])
+
+
+def _chunk_pad(c, lo, width):
+    """Aligned lane window [lo, lo+width) of value ``c``, zero-padded past
+    the logical lane count; None if fully out of range."""
+    W, mc = c.shape
+    hi = min(lo + width, mc)
+    if lo >= mc:
+        return None
+    w = c[:, lo:hi]
+    if hi - lo < width:
+        w = jnp.concatenate(
+            [w, jnp.zeros((W, width - (hi - lo)), c.dtype)], axis=1)
+    return w
+
+
+def _lane_prolong_block(c, pm_ref, m):
+    """Expand the lane axis of value ``c`` (W, mc) 1:2 via chunked MXU
+    dots with the matrices in ``pm_ref`` (prolong_lane_matrices): fine
+    lane 2i+1+o accumulates taps[o+1] * c[:, i].  Returns (W, m) f32
+    (m = 2*mc+1)."""
+    W, mc = c.shape
+    c = c.astype(jnp.float32)
+    nQ = (m + 255) // 256
+    chunks = []
+    for q in range(nQ):
+        acc = None
+        wmain = _chunk_pad(c, 128 * q, 128)
+        if wmain is not None:
+            acc = jnp.dot(wmain, pm_ref[0],
+                          preferred_element_type=jnp.float32)
+        if q > 0:
+            wprev = _chunk_pad(c, 128 * (q - 1), 128)
+            if wprev is not None:
+                d = jnp.dot(wprev, pm_ref[1],
+                            preferred_element_type=jnp.float32)
+                acc = d if acc is None else acc + d
+        if acc is None:
+            acc = jnp.zeros((W, 256), jnp.float32)
+        chunks.append(acc)
+    out = jnp.concatenate(chunks, axis=1)
+    return out[:, :m]
+
+
+def _smooth_rr_col_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
+                          b_curr_ref, b_next_ref, omega_ref, rm_ref, us_ref,
+                          rc_ref, *, c_center, c_w, c_e, c_n, c_s, dinv,
+                          wm1, w0, wp1, block_rows_c, n_rows, n_sweeps):
+    """_smooth_rr_kernel with the column restriction fused in-kernel:
+    writes the smoothed u and the FULLY restricted residual (Rc, mc)."""
+    i = pl.program_id(0)
+    Rc = block_rows_c
+    m = u_curr_ref.shape[1]
+    W = 2 * Rc + 16
+    f0 = i * (2 * Rc)
+
+    u = jnp.concatenate([u_prev_ref[:], u_curr_ref[:], u_next_ref[:]],
+                        axis=0).astype(jnp.float32)
+    b = jnp.concatenate([b_prev_ref[:], b_curr_ref[:], b_next_ref[:]],
+                        axis=0).astype(jnp.float32)
+    gid = jax.lax.broadcasted_iota(jnp.int32, (W, m), 0) + f0 - 8
+    col = jax.lax.broadcasted_iota(jnp.int32, (W, m), 1)
+    valid = (gid >= 0) & (gid < n_rows)
+    u = jnp.where(valid, u, 0.0)
+    checker = ((gid + col) % 2) == 0
+    masks = (checker & valid, (~checker) & valid)
+
+    zr = jnp.zeros((1, m), u.dtype)
+    zc = jnp.zeros((W, 1), u.dtype)
+    dw, de, dn_, ds = (c_w * dinv, c_e * dinv, c_n * dinv, c_s * dinv)
+    bd = dinv * b
+    for k in range(n_sweeps):
+        omega = omega_ref[0, k]
+        for parity in (0, 1):
+            up = jnp.concatenate([zr, u[:-1, :]], axis=0)
+            dn = jnp.concatenate([u[1:, :], zr], axis=0)
+            left = jnp.concatenate([zc, u[:, :-1]], axis=1)
+            right = jnp.concatenate([u[:, 1:], zc], axis=1)
+            upd = omega * (bd - u - (dw * up + de * dn
+                                     + dn_ * left + ds * right))
+            u = u + jnp.where(masks[parity], upd, 0.0)
+
+    up = jnp.concatenate([zr, u[:-1, :]], axis=0)
+    dn = jnp.concatenate([u[1:, :], zr], axis=0)
+    left = jnp.concatenate([zc, u[:, :-1]], axis=1)
+    right = jnp.concatenate([u[:, 1:], zc], axis=1)
+    au = (c_center * u + c_w * up + c_e * dn + c_n * left + c_s * right)
+    r = jnp.where(valid, b - au, 0.0)
+
+    us_ref[:] = u[8:8 + 2 * Rc].astype(us_ref.dtype)
+    body = r[8:8 + 2 * Rc].reshape(Rc, 2, m)
+    ev = body[:, 0, :]
+    od = body[:, 1, :]
+    ev_next = jnp.concatenate([ev[1:], r[8 + 2 * Rc:9 + 2 * Rc]], axis=0)
+    rr = wm1 * ev + w0 * od + wp1 * ev_next
+    rc_ref[:] = _lane_restrict_block(rr, rm_ref, m).astype(rc_ref.dtype)
+
+
+def presmooth_residual_restrict(u, b, omegas, stencil_vals, taps,
+                                interpret=False):
+    """(u_smoothed, rc): like presmooth_residual_rowrestrict but with the
+    column (lane) restriction fused in-kernel — rc is the FULLY restricted
+    residual of shape (nc, mc).  ``taps`` is the (row, col) 3-tap pair."""
+    n, m = u.shape
+    nc, mc = (n - 1) // 2, (m - 1) // 2
+    S = len(omegas)
+    assert 1 <= S <= 3
+    Rc = _ROW_BLOCK_COARSE
+    c_center, c_w, c_e, c_n, c_s = stencil_vals
+    wm1, w0, wp1 = taps[0]
+    kernel = functools.partial(
+        _smooth_rr_col_kernel, c_center=c_center, c_w=c_w, c_e=c_e, c_n=c_n,
+        c_s=c_s, dinv=1.0 / c_center, wm1=wm1, w0=w0, wp1=wp1,
+        block_rows_c=Rc, n_rows=n, n_sweeps=S)
+
+    H = 8
+    RF = 2 * Rc
+    n8 = pl.cdiv(n, H)
+    nblk = pl.cdiv(n, RF)
+    grid = (nblk,)
+    spec_prev = pl.BlockSpec(
+        (H, m), lambda i: (jnp.maximum((i * RF) // H - 1, 0), 0),
+        memory_space=pltpu.VMEM)
+    spec_main = pl.BlockSpec((RF, m), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    spec_next = pl.BlockSpec(
+        (H, m), lambda i: (jnp.minimum((i * RF + RF) // H, n8 - 1), 0),
+        memory_space=pltpu.VMEM)
+    spec_mat = pl.BlockSpec((384, 128), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    om = jnp.stack([jnp.asarray(o, jnp.float32)
+                    for o in omegas]).reshape(1, S)
+    rmat = jnp.asarray(restrict_lane_matrix(taps[1]))
+    u_s, rc = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_prev, spec_main, spec_next,
+                  spec_prev, spec_main, spec_next,
+                  pl.BlockSpec(memory_space=pltpu.SMEM), spec_mat],
+        out_specs=[pl.BlockSpec((RF, m), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((Rc, mc), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((nblk * RF, m), u.dtype),
+                   jax.ShapeDtypeStruct((nblk * Rc, mc), u.dtype)],
+        interpret=interpret,
+    )(u, u, u, b, b, b, om, rmat)
+    return u_s[:n], rc[:nc]
+
+
+def _pc_smooth_col_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
+                          b_curr_ref, b_next_ref, e_prev_ref, e_curr_ref,
+                          e_next_ref, omega_ref, pm_ref, out_ref, *,
+                          c_center, c_w, c_e, c_n, c_s, dinv, pm1, p0, pp1,
+                          block_rows_f, n_rows, nc_rows, n_sweeps):
+    """_pc_smooth_kernel with the column prolongation fused in-kernel:
+    takes the raw coarse correction e (lane width mc) instead of the
+    pre-expanded c_half.  (pm1, p0, pp1) are the ROW (sublane) taps; the
+    COLUMN (lane) taps live in pm_ref (prolong_lane_matrices)."""
+    i = pl.program_id(0)
+    R = block_rows_f
+    m = u_curr_ref.shape[1]
+    W = R + 16
+    f0 = i * R
+    Rc = R // 2
+    i0 = i * Rc
+
+    u = jnp.concatenate([u_prev_ref[:], u_curr_ref[:], u_next_ref[:]],
+                        axis=0).astype(jnp.float32)
+    b = jnp.concatenate([b_prev_ref[:], b_curr_ref[:], b_next_ref[:]],
+                        axis=0).astype(jnp.float32)
+    gid = jax.lax.broadcasted_iota(jnp.int32, (W, m), 0) + f0 - 8
+    col = jax.lax.broadcasted_iota(jnp.int32, (W, m), 1)
+    valid = (gid >= 0) & (gid < n_rows)
+    u = jnp.where(valid, u, 0.0)
+
+    # coarse window rows i0-4 .. i0+Rc+3, lane width mc
+    Rcw = Rc + 8
+    mc = e_curr_ref.shape[1]
+    e = jnp.concatenate([e_prev_ref[4:8, :], e_curr_ref[:],
+                         e_next_ref[0:4, :]],
+                        axis=0).astype(jnp.float32)               # (Rcw, mc)
+    cgid = jax.lax.broadcasted_iota(jnp.int32, (Rcw, mc), 0) + i0 - 4
+    e = jnp.where((cgid >= 0) & (cgid < nc_rows), e, 0.0)
+    c = _lane_prolong_block(e, pm_ref, m)                        # (Rcw, m)
+    zc1 = jnp.zeros((1, m), c.dtype)
+    c_shift = jnp.concatenate([zc1, c[:-1, :]], axis=0)
+    evn = pp1 * c_shift + pm1 * c
+    odd = p0 * c
+    corr = jnp.stack([evn, odd], axis=1).reshape(2 * Rcw, m)
+    omega0 = omega_ref[0, 0]
+    u = u + omega0 * jnp.where(valid, corr, 0.0)
+
+    zr = jnp.zeros((1, m), u.dtype)
+    zc = jnp.zeros((W, 1), u.dtype)
+    checker = ((gid + col) % 2) == 0
+    masks = (checker & valid, (~checker) & valid)
+    dw, de, dn_, ds = (c_w * dinv, c_e * dinv, c_n * dinv, c_s * dinv)
+    bd = dinv * b
+    for k in range(n_sweeps):
+        omega = omega_ref[0, k + 1]
+        for parity in (0, 1):
+            up = jnp.concatenate([zr, u[:-1, :]], axis=0)
+            dn = jnp.concatenate([u[1:, :], zr], axis=0)
+            left = jnp.concatenate([zc, u[:, :-1]], axis=1)
+            right = jnp.concatenate([u[:, 1:], zc], axis=1)
+            upd = omega * (bd - u - (dw * up + de * dn
+                                     + dn_ * left + ds * right))
+            u = u + jnp.where(masks[parity], upd, 0.0)
+
+    out_ref[:] = u[8:8 + R].astype(out_ref.dtype)
+
+
+def prolong_correct_postsmooth_col(u, e, b, omegas, stencil_vals, taps,
+                                   interpret=False):
+    """Like prolong_correct_postsmooth but taking the raw coarse
+    correction ``e`` of shape (nc, mc) — the column (lane) prolongation
+    runs in-kernel.  ``taps`` is the (row, col) 3-tap pair; the row taps
+    feed the sublane interpolation, the col taps the lane expansion."""
+    n, m = u.shape
+    nc, mc = e.shape
+    assert m == 2 * mc + 1 and n == 2 * nc + 1
+    S = len(omegas) - 1
+    assert 1 <= S <= 3
+    R = _ROW_BLOCK_FINE
+    Rc = R // 2
+    c_center, c_w, c_e, c_n, c_s = stencil_vals
+    kernel = functools.partial(
+        _pc_smooth_col_kernel, c_center=c_center, c_w=c_w, c_e=c_e, c_n=c_n,
+        c_s=c_s, dinv=1.0 / c_center, pm1=taps[0][0], p0=taps[0][1],
+        pp1=taps[0][2], block_rows_f=R, n_rows=n, nc_rows=nc, n_sweeps=S)
+
+    H = 8
+    n8 = pl.cdiv(n, H)
+    n8c = pl.cdiv(nc, H)
+    cblk_max = pl.cdiv(nc, Rc) - 1
+    nblk = pl.cdiv(n, R)
+    grid = (nblk,)
+    spec_prev = pl.BlockSpec(
+        (H, m), lambda i: (jnp.maximum((i * R) // H - 1, 0), 0),
+        memory_space=pltpu.VMEM)
+    spec_main = pl.BlockSpec((R, m), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    spec_next = pl.BlockSpec(
+        (H, m), lambda i: (jnp.minimum((i * R + R) // H, n8 - 1), 0),
+        memory_space=pltpu.VMEM)
+    spec_cprev = pl.BlockSpec(
+        (H, mc), lambda i: (jnp.clip((i * Rc) // H - 1, 0, n8c - 1), 0),
+        memory_space=pltpu.VMEM)
+    spec_cmain = pl.BlockSpec(
+        (Rc, mc), lambda i: (jnp.minimum(i, cblk_max), 0),
+        memory_space=pltpu.VMEM)
+    spec_cnext = pl.BlockSpec(
+        (H, mc), lambda i: (jnp.minimum((i * Rc + Rc) // H, n8c - 1), 0),
+        memory_space=pltpu.VMEM)
+    om = jnp.stack([jnp.asarray(o, jnp.float32)
+                    for o in omegas]).reshape(1, S + 1)
+    pmat = jnp.asarray(prolong_lane_matrices(taps[1]))
+    spec_pmat = pl.BlockSpec((2, 128, 256), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_prev, spec_main, spec_next,
+                  spec_prev, spec_main, spec_next,
+                  spec_cprev, spec_cmain, spec_cnext,
+                  pl.BlockSpec(memory_space=pltpu.SMEM), spec_pmat],
+        out_specs=pl.BlockSpec((R, m), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblk * R, m), u.dtype),
+        interpret=interpret,
+    )(u, u, u, b, b, b, e, e, e, om, pmat)
+    return out[:n]
+
+
+def _vleg_col_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
+                     b_curr_ref, b_next_ref, e_prev_ref, e_curr_ref,
+                     e_next_ref, omega_ref, rm_ref, pm_ref, us_ref, rc_ref,
+                     *, c_center, c_w, c_e, c_n, c_s, dinv, pm1, p0, pp1,
+                     wm1, w0, wp1, block_rows_f, n_rows, nc_rows, n_sweeps):
+    """_vleg_kernel with both column transfers fused in-kernel: takes the
+    raw coarse correction e (lane width mc) and writes the fully
+    restricted residual (Rc, mc)."""
+    i = pl.program_id(0)
+    R = block_rows_f
+    m = u_curr_ref.shape[1]
+    W = R + 32
+    f0 = i * R
+    Rc = R // 2
+    i0 = i * Rc
+
+    u = jnp.concatenate([u_prev_ref[:], u_curr_ref[:], u_next_ref[:]],
+                        axis=0).astype(jnp.float32)
+    b = jnp.concatenate([b_prev_ref[:], b_curr_ref[:], b_next_ref[:]],
+                        axis=0).astype(jnp.float32)
+    gid = jax.lax.broadcasted_iota(jnp.int32, (W, m), 0) + f0 - 16
+    col = jax.lax.broadcasted_iota(jnp.int32, (W, m), 1)
+    valid = (gid >= 0) & (gid < n_rows)
+    u = jnp.where(valid, u, 0.0)
+
+    Rcw = Rc + 16
+    mc = e_curr_ref.shape[1]
+    e = jnp.concatenate([e_prev_ref[:], e_curr_ref[:], e_next_ref[:]],
+                        axis=0).astype(jnp.float32)              # (Rcw, mc)
+    cgid = jax.lax.broadcasted_iota(jnp.int32, (Rcw, mc), 0) + i0 - 8
+    e = jnp.where((cgid >= 0) & (cgid < nc_rows), e, 0.0)
+    c = _lane_prolong_block(e, pm_ref, m)                        # (Rcw, m)
+    zc1 = jnp.zeros((1, m), c.dtype)
+    c_shift = jnp.concatenate([zc1, c[:-1, :]], axis=0)
+    evn = pp1 * c_shift + pm1 * c
+    odd = p0 * c
+    corr = jnp.stack([evn, odd], axis=1).reshape(2 * Rcw, m)     # (W, m)
+    omega0 = omega_ref[0, 0]
+    u = u + omega0 * jnp.where(valid, corr, 0.0)
+
+    zr = jnp.zeros((1, m), u.dtype)
+    zc = jnp.zeros((W, 1), u.dtype)
+    checker = ((gid + col) % 2) == 0
+    masks = (checker & valid, (~checker) & valid)
+    dw, de, dn_, ds = (c_w * dinv, c_e * dinv, c_n * dinv, c_s * dinv)
+    bd = dinv * b
+    for k in range(n_sweeps):
+        omega = omega_ref[0, k + 1]
+        for parity in (0, 1):
+            up = jnp.concatenate([zr, u[:-1, :]], axis=0)
+            dn = jnp.concatenate([u[1:, :], zr], axis=0)
+            left = jnp.concatenate([zc, u[:, :-1]], axis=1)
+            right = jnp.concatenate([u[:, 1:], zc], axis=1)
+            upd = omega * (bd - u - (dw * up + de * dn
+                                     + dn_ * left + ds * right))
+            u = u + jnp.where(masks[parity], upd, 0.0)
+
+    up = jnp.concatenate([zr, u[:-1, :]], axis=0)
+    dn = jnp.concatenate([u[1:, :], zr], axis=0)
+    left = jnp.concatenate([zc, u[:, :-1]], axis=1)
+    right = jnp.concatenate([u[:, 1:], zc], axis=1)
+    au = (c_center * u + c_w * up + c_e * dn + c_n * left + c_s * right)
+    r = jnp.where(valid, b - au, 0.0)
+
+    us_ref[:] = u[16:16 + R].astype(us_ref.dtype)
+    body = r[16:16 + R].reshape(Rc, 2, m)
+    ev = body[:, 0, :]
+    od = body[:, 1, :]
+    ev_next = jnp.concatenate([ev[1:], r[16 + R:17 + R]], axis=0)
+    rr = wm1 * ev + w0 * od + wp1 * ev_next
+    rc_ref[:] = _lane_restrict_block(rr, rm_ref, m).astype(rc_ref.dtype)
+
+
+def upleg_downleg_col(u, e, b, omegas, stencil_vals, p_taps, r_taps,
+                      interpret=False, block_rows=None):
+    """(u_next, rc): upleg_downleg_fused with both column transfers fused
+    in-kernel — takes the raw coarse correction ``e`` (nc, mc), returns
+    the fully restricted residual (nc, mc).  ``p_taps``/``r_taps`` are
+    (row, col) 3-tap pairs."""
+    n, m = u.shape
+    nc, mc = e.shape
+    assert m == 2 * mc + 1 and n == 2 * nc + 1
+    S = len(omegas) - 1
+    assert 1 <= S <= 6
+    R = block_rows or _ROW_BLOCK_FINE
+    assert R % 16 == 0
+    Rc = R // 2
+    c_center, c_w, c_e, c_n, c_s = stencil_vals
+    kernel = functools.partial(
+        _vleg_col_kernel, c_center=c_center, c_w=c_w, c_e=c_e, c_n=c_n,
+        c_s=c_s, dinv=1.0 / c_center, pm1=p_taps[0][0], p0=p_taps[0][1],
+        pp1=p_taps[0][2], wm1=r_taps[0][0], w0=r_taps[0][1],
+        wp1=r_taps[0][2], block_rows_f=R, n_rows=n, nc_rows=nc, n_sweeps=S)
+
+    H = 16
+    Hc = 8
+    nH = pl.cdiv(n, H)
+    nHc = pl.cdiv(nc, Hc)
+    cblk_max = pl.cdiv(nc, Rc) - 1
+    nblk = pl.cdiv(n, R)
+    grid = (nblk,)
+    spec_prev = pl.BlockSpec(
+        (H, m), lambda i: (jnp.maximum((i * R) // H - 1, 0), 0),
+        memory_space=pltpu.VMEM)
+    spec_main = pl.BlockSpec((R, m), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    spec_next = pl.BlockSpec(
+        (H, m), lambda i: (jnp.minimum((i * R + R) // H, nH - 1), 0),
+        memory_space=pltpu.VMEM)
+    spec_cprev = pl.BlockSpec(
+        (Hc, mc), lambda i: (jnp.clip((i * Rc) // Hc - 1, 0, nHc - 1), 0),
+        memory_space=pltpu.VMEM)
+    spec_cmain = pl.BlockSpec(
+        (Rc, mc), lambda i: (jnp.minimum(i, cblk_max), 0),
+        memory_space=pltpu.VMEM)
+    spec_cnext = pl.BlockSpec(
+        (Hc, mc), lambda i: (jnp.minimum((i * Rc + Rc) // Hc, nHc - 1), 0),
+        memory_space=pltpu.VMEM)
+    spec_mat = pl.BlockSpec((384, 128), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    om = jnp.stack([jnp.asarray(o, jnp.float32)
+                    for o in omegas]).reshape(1, S + 1)
+    rmat = jnp.asarray(restrict_lane_matrix(r_taps[1]))
+    pmat = jnp.asarray(prolong_lane_matrices(p_taps[1]))
+    spec_pmat = pl.BlockSpec((2, 128, 256), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    u_s, rc = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_prev, spec_main, spec_next,
+                  spec_prev, spec_main, spec_next,
+                  spec_cprev, spec_cmain, spec_cnext,
+                  pl.BlockSpec(memory_space=pltpu.SMEM), spec_mat,
+                  spec_pmat],
+        out_specs=[pl.BlockSpec((R, m), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((Rc, mc), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((nblk * R, m), u.dtype),
+                   jax.ShapeDtypeStruct((nblk * Rc, mc), u.dtype)],
+        interpret=interpret,
+    )(u, u, u, b, b, b, e, e, e, om, rmat, pmat)
+    return u_s[:n], rc[:nc]

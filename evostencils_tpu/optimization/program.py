@@ -645,11 +645,11 @@ class Optimizer:
             levels_per_run = levels
         contexts = problem.level_contexts
         FAS = problem.nonlinear_term is not None
-        if FAS and levels_per_run < levels:
-            raise NotImplementedError(
-                "level-chunked runs are not supported for FAS problems: the "
-                "chunk boundary's coarse solve needs the restricted-solution "
-                "initial guess, which a zero-start chunk cycle cannot carry")
+        # FAS + chunked runs: the chunk boundary's coarse solve carries the
+        # restricted-solution initial guess through the spliced chain
+        # (lower.make_chain_applier initial_guess, apply_coarse_solver) —
+        # matching the reference's generator-agnostic chunking with the FAS
+        # backend (reference program.py:810-899, exastencils_FAS.py:440-446)
         if levels_per_run < levels and generalization_interval < generations:
             # reference program.py:780-783: stepwise generalization is only
             # supported for single-stage optimizations
@@ -727,11 +727,21 @@ class Optimizer:
                     v_approx, v_rhs, v_ctxs, v_coarsest,
                     maximum_local_system_size=maximum_local_system_size,
                     enable_partitioning=enable_partitioning, FAS=FAS)
+                # variant evaluators inherit the base evaluator's settings
+                # in BOTH branches (and in _rebuild_problem): a non-default
+                # base dtype/iteration budget must not silently change the
+                # variants' fitness thresholds
                 if ci == 0:
-                    ev_v = CycleEvaluator(variant)
+                    ev_v = CycleEvaluator(
+                        variant, dtype=base_evaluator.dtype,
+                        max_iterations=base_evaluator.max_iterations,
+                        target_reduction=base_evaluator.target_reduction)
                 else:
                     ev_v = CycleEvaluator(
-                        variant, chain=list(variant_chains[vi]),
+                        variant, dtype=base_evaluator.dtype,
+                        max_iterations=base_evaluator.max_iterations,
+                        target_reduction=base_evaluator.target_reduction,
+                        chain=list(variant_chains[vi]),
                         cand_entities=(v_approx, v_rhs))
                 self._robustness.append((ev_v, pset_v))
                 variant_parts.append((v_approx, v_rhs, pset_v))

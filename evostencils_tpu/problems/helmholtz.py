@@ -96,6 +96,10 @@ class OuterSolverSpec:
     tolerance: float
     max_iterations: int
     rhs_builder: Callable
+    #: split-complex mode: fields are (re, im) f32 pairs and the outer
+    #: BiCGStab carries complex scalars as (re, im) pairs — the whole
+    #: device program is real (ops/solvers.preconditioned_bicgstab_split)
+    split: bool = False
 
 
 def helmholtz_2d(max_level: int = 7, min_level: int = 3,
@@ -143,4 +147,113 @@ def helmholtz_2d(max_level: int = 7, min_level: int = 3,
     problem.outer_solver = OuterSolverSpec(
         name="PreconditionedBiCGStab", operator=a_op, tolerance=1e-7,
         max_iterations=10000, rhs_builder=rhs_builder)
+    return problem
+
+
+# ---------------------------------------------------------------------------
+# Split-complex formulation: the whole program stays REAL
+# ---------------------------------------------------------------------------
+# A complex system A z = b with z = x + i y is algebraically the 2x2 real
+# block system [[Ar, -Ai], [Ai, Ar]] (x, y) = (br, bi).  Lowered this way,
+# every device op is f32: the collective point smoother (ElementwiseDiagonal
+# over the 2x2 system) IS the complex point smoother (the 2x2 center matrix
+# [[dr, -di], [di, dr]] is complex multiplication by the center), transfers
+# are per-field real, and the dense coarse inverse of the block system is
+# the complex inverse.  This routes around the axon relay's complex64
+# rejection (BASELINE.md: `UNIMPLEMENTED: TPU backend error` on any c64
+# program) with ZERO new kernels — the block-system Pallas/XLA paths carry
+# it (the same trick XLA itself uses for complex collectives,
+# parallel/halo.py:46-51).
+
+class SplitPartOperatorGenerator:
+    """Real or imaginary part (optionally negated) of a complex operator
+    generator, preserving the Robin boundary fold via field form."""
+
+    def __init__(self, gen, part: str, sign: float = 1.0):
+        self.gen = gen
+        self.part = part
+        self.sign = sign
+
+    def generate_stencil(self, grid: Grid) -> Stencil:
+        st = self.gen.generate_stencil(grid)
+        take = ((lambda v: complex(v).real) if self.part == "re"
+                else (lambda v: complex(v).imag))
+        return Stencil([(o, self.sign * take(v)) for o, v in st.entries])
+
+    def generate_stencil_field(self, grid: Grid) -> StencilField:
+        sf = self.gen.generate_stencil_field(grid)
+        take = np.real if self.part == "re" else np.imag
+        return StencilField(
+            sf.offsets,
+            [self.sign * take(np.asarray(f)) for f in sf.fields])
+
+
+def _split_operator(name: str, grid: Grid, gen) -> system.Operator:
+    return system.Operator(name, [
+        [base.Operator(f"{name}_rr", grid,
+                       SplitPartOperatorGenerator(gen, "re")),
+         base.Operator(f"{name}_ri", grid,
+                       SplitPartOperatorGenerator(gen, "im", -1.0))],
+        [base.Operator(f"{name}_ir", grid,
+                       SplitPartOperatorGenerator(gen, "im")),
+         base.Operator(f"{name}_ii", grid,
+                       SplitPartOperatorGenerator(gen, "re"))],
+    ])
+
+
+def helmholtz_2d_split(max_level: int = 7, min_level: int = 3,
+                       k: float = K_DEFAULT,
+                       shift: complex = SHIFT) -> Problem:
+    """Split-complex Helmholtz: same physics as :func:`helmholtz_2d`,
+    lowered as a 2-field real system so the compiled program contains no
+    complex dtype (device-executable through the axon relay)."""
+    cf = (2, 2)
+    rgen = gallery.FullWeightingRestrictionGenerator(cf)
+    pgen = gallery.MultilinearInterpolationGenerator(cf)
+    contexts = []
+    for level in range(max_level, min_level, -1):
+        g = unit_interval_grid(2, level)
+        gc = unit_interval_grid(2, level - 1)
+        m_op = _split_operator(f"M_{level}", g,
+                               HelmholtzOperatorGenerator(k, shift))
+        restriction = system.Restriction(f"R_{level}", [
+            base.Restriction("R_re", g, gc, rgen),
+            base.Restriction("R_im", g, gc, rgen)])
+        prolongation = system.Prolongation(f"P_{level}", [
+            base.Prolongation("P_re", g, gc, pgen),
+            base.Prolongation("P_im", g, gc, pgen)])
+        approx = system.Approximation("z", [base.Approximation("u_re", g),
+                                            base.Approximation("u_im", g)])
+        contexts.append(LevelContext(operator=m_op, restriction=restriction,
+                                     prolongation=prolongation,
+                                     approximation=approx, grid=[g, g]))
+    g_min = unit_interval_grid(2, min_level)
+    coarsest = _split_operator(f"M_{min_level}", g_min,
+                               HelmholtzOperatorGenerator(k, shift))
+
+    grid = contexts[0].grid[0]
+    rhs_entity = system.RightHandSide(
+        "f", [base.RightHandSide("f_re", grid),
+              base.RightHandSide("f_im", grid)])
+
+    def rhs_builder(dtype=np.float32):
+        import jax.numpy as jnp
+        real = (jnp.float64 if dtype in (np.float64, np.complex128)
+                else jnp.float32)
+        f = _dirac_bspline_rhs(grid)
+        return (jnp.asarray(f.real, real), jnp.asarray(f.imag, real))
+
+    a_op = _split_operator(f"A_{max_level}", grid,
+                           HelmholtzOperatorGenerator(k, 0.0))
+
+    problem = Problem(name="Helmholtz2DSplit", dimension=2,
+                      min_level=min_level, max_level=max_level,
+                      fields=["u_re", "u_im"],
+                      level_contexts=contexts, coarsest_operator=coarsest,
+                      rhs_entity=rhs_entity, rhs_builder=rhs_builder,
+                      target_reduction=1e-7, max_iterations=10000,
+                      dtype=np.float32)
+    problem.outer_solver = OuterSolverSpec(
+        name="PreconditionedBiCGStab", operator=a_op, tolerance=1e-7,
+        max_iterations=10000, rhs_builder=rhs_builder, split=True)
     return problem
