@@ -112,10 +112,15 @@ def _stencil_field_of(op):
     if gen is None or not hasattr(gen, "generate_stencil_field"):
         return None
     key = (id(gen), tuple(op.grid.size))
-    sf = _STENCIL_FIELD_CACHE.get(key)
-    if sf is None:
-        sf = gen.generate_stencil_field(op.grid)
-        _STENCIL_FIELD_CACHE[key] = sf
+    hit = _STENCIL_FIELD_CACHE.get(key)
+    # the cached generator reference both validates the id (a dead
+    # generator's id can be REUSED by a fresh object — observed as a
+    # split-complex Helmholtz problem picking up the complex problem's
+    # coefficient fields) and keeps it alive so the id stays unique
+    if hit is not None and hit[0] is gen:
+        return hit[1]
+    sf = gen.generate_stencil_field(op.grid)
+    _STENCIL_FIELD_CACHE[key] = (gen, sf)
     return sf
 
 
@@ -259,13 +264,72 @@ def _scalar_five_point(A):
     return rbgs.five_point_values(st)
 
 
-def _peel_smoother_chain(cur, rhs, vals, max_sweeps=3):
-    """Peel up to ``max_sweeps`` red-black diagonal smoother cycles over
-    the operator with stencil ``vals`` and right-hand side ``rhs``
-    (entity identity).  Returns (sweeps outermost-first, innermost expr)."""
+def _smoother_sig(A, L=None):
+    """Fusion signature of a smoothable 2D operator: ("const5", vals) for
+    scalar constant stencils, ("var5", sf) for variable-coefficient
+    StencilField form (rbgs_var super kernels), ("sys9", (coeffs, kind))
+    for FxF constant 9-point block systems with a Diagonal /
+    ElementwiseDiagonal smoother L (rbgs_sys super kernels), else None.
+    ``L`` only matters for systems (it selects the point-solve matrix)."""
+    vals = _scalar_five_point(A)
+    if vals is not None and vals[0] != 0.0:
+        return ("const5", vals)
+    entry = A
+    if isinstance(A, system.Operator):
+        F = len(A.entries)
+        if F >= 2:
+            if any(len(r) != F for r in A.entries):
+                return None
+            if isinstance(L, system.ElementwiseDiagonal):
+                kind = "elem"
+            elif isinstance(L, system.Diagonal):
+                kind = "diag"
+            else:
+                return None
+            from ..ops.pallas import rbgs_sys
+            coeffs = []
+            for row in A.entries:
+                crow = []
+                for e in row:
+                    if isinstance(e, base.ZeroOperator):
+                        crow.append((0.0,) * 9)
+                        continue
+                    if type(e) is not base.Operator or \
+                            _nonlinear_of(e) is not None or \
+                            _stencil_field_of(e) is not None:
+                        return None
+                    st = e.generate_stencil()
+                    if not isinstance(st, constant.Stencil):
+                        return None
+                    c = rbgs_sys.nine_point_coeffs(st)
+                    if c is None:
+                        return None
+                    crow.append(c)
+                coeffs.append(tuple(crow))
+            if A.entries[0][0].grid.dimension != 2:
+                return None
+            return ("sys9", (tuple(coeffs), kind))
+        entry = A.entries[0][0]
+    if type(entry) is not base.Operator or _nonlinear_of(entry) is not None:
+        return None
+    if entry.grid.dimension != 2:
+        return None
+    sf = _stencil_field_of(entry)
+    if sf is None:
+        return None
+    return ("var5", sf)
+
+
+def _peel_smoother_chain(cur, rhs, sig, max_sweeps=3):
+    """Peel up to ``max_sweeps`` diagonal smoother cycles (all with the
+    SAME partitioning — RedBlack or Single) over the operator with fusion
+    signature ``sig`` and right-hand side ``rhs`` (entity identity).
+    Returns (sweeps outermost-first, innermost expr, partitioning)."""
     sweeps = []
+    partitioning = None
     while len(sweeps) < max_sweeps and isinstance(cur, base.Cycle) \
-            and cur.partitioning is part.RedBlack:
+            and cur.partitioning in (part.RedBlack, part.Single) \
+            and (partitioning is None or cur.partitioning is partitioning):
         corr = cur.correction
         if not (isinstance(corr, base.Multiplication)
                 and isinstance(corr.operand1, base.Inverse)
@@ -278,11 +342,18 @@ def _peel_smoother_chain(cur, rhs, vals, max_sweeps=3):
         r2 = corr.operand2
         if r2.approximation is not cur.approximation or r2.rhs is not rhs:
             break
-        if _scalar_five_point(r2.operator) != vals:
+        s2 = _smoother_sig(r2.operator, L)
+        if s2 is None or s2[0] != sig[0]:
             break
+        if sig[0] == "var5":
+            if s2[1] is not sig[1]:        # same StencilField object
+                break
+        elif s2[1] != sig[1]:
+            break
+        partitioning = cur.partitioning
         sweeps.append(cur)
         cur = cur.approximation
-    return sweeps, cur
+    return sweeps, cur, partitioning
 
 
 def _plan_post_fusions(root):
@@ -298,13 +369,16 @@ def _plan_post_fusions(root):
                 and isinstance(corr.operand1, base.Inverse)
                 and isinstance(corr.operand2, base.Residual)):
             continue
-        vals = _scalar_five_point(corr.operand2.operator)
-        if vals is None or vals[0] == 0.0:
+        sig = _smoother_sig(corr.operand2.operator,
+                            corr.operand1.operand)
+        if sig is None:
             continue
         rhs = corr.operand2.rhs
-        sweeps, cur = _peel_smoother_chain(cyc, rhs, vals)
+        sweeps, cur, partitioning = _peel_smoother_chain(cyc, rhs, sig)
         if not sweeps or not isinstance(cur, base.Cycle):
             continue
+        if sig[0] == "const5" and partitioning is not part.RedBlack:
+            continue   # const super kernels implement RB half-sweeps only
         ccorr = cur.correction
         if not isinstance(ccorr, base.Multiplication):
             continue
@@ -312,7 +386,9 @@ def _plan_post_fusions(root):
         if not isinstance(P, (system.Prolongation, base.Prolongation)) or \
                 isinstance(P, base.ZeroProlongation):
             continue
-        plan = {"sweeps": sweeps, "cgc": cur, "vals": vals, "rhs": rhs}
+        plan = {"sweeps": sweeps, "cgc": cur, "sig": sig,
+                "vals": sig[1] if sig[0] == "const5" else None, "rhs": rhs,
+                "partitioning": partitioning}
         by_smoother[id(sweeps[0])] = plan
     return by_smoother
 
@@ -336,15 +412,26 @@ def _plan_super_fusions(root):
         if not isinstance(R, (system.Restriction, base.Restriction)) or \
                 isinstance(R, base.ZeroRestriction):
             continue
-        vals = _scalar_five_point(res.operator)
-        if vals is None or vals[0] == 0.0:
+        L0 = None
+        head = res.approximation
+        if isinstance(head, base.Cycle) and \
+                isinstance(head.correction, base.Multiplication) and \
+                isinstance(head.correction.operand1, base.Inverse):
+            L0 = head.correction.operand1.operand
+        sig = _smoother_sig(res.operator, L0)
+        if sig is None:
             continue
         # peel the pre-smoother chain (outermost first)
-        sweeps, cur = _peel_smoother_chain(res.approximation, res.rhs, vals)
+        sweeps, cur, partitioning = _peel_smoother_chain(res.approximation,
+                                                         res.rhs, sig)
         if not sweeps:
             continue
-        plan = {"mult": mult, "res": res, "restriction": R, "vals": vals,
-                "sweeps": sweeps, "base": cur}
+        if sig[0] == "const5" and partitioning is not part.RedBlack:
+            continue   # const super kernels implement RB half-sweeps only
+        plan = {"mult": mult, "res": res, "restriction": R, "sig": sig,
+                "vals": sig[1] if sig[0] == "const5" else None,
+                "sweeps": sweeps, "base": cur,
+                "partitioning": partitioning}
         by_smoother[id(sweeps[0])] = plan
         by_mult[id(mult)] = plan
     return by_smoother, by_mult
@@ -352,23 +439,30 @@ def _plan_super_fusions(root):
 
 def transfer_three_tap(op):
     """Per-axis (w[-1], w[0], w[+1]) taps of a scalar separable 2D
-    transfer operator (system wrappers unwrapped), else None."""
+    transfer operator (system wrappers unwrapped; multi-field systems
+    must use the SAME taps for every field), else None."""
     entries = getattr(op, "entries", None)
     if entries is not None:
-        if len(entries) != 1:
+        field_ops = [row[i] for i, row in enumerate(entries)]
+    else:
+        field_ops = [op]
+    taps0 = None
+    for fop in field_ops:
+        st = fop.generate_stencil()
+        if not isinstance(st, constant.Stencil):
             return None
-        op = entries[0][0]
-    st = op.generate_stencil()
-    if not isinstance(st, constant.Stencil):
-        return None
-    fac = ops.separable_factors(st)
-    if fac is None:
-        return None
-    from ..ops.pallas import transfer as ptransfer
-    taps = ptransfer.three_tap(*fac)
-    if taps is None or len(taps) != 2:
-        return None
-    return taps
+        fac = ops.separable_factors(st)
+        if fac is None:
+            return None
+        from ..ops.pallas import transfer as ptransfer
+        taps = ptransfer.three_tap(*fac)
+        if taps is None or len(taps) != 2:
+            return None
+        if taps0 is None:
+            taps0 = taps
+        elif taps != taps0:
+            return None
+    return taps0
 
 
 class _Lowering:
@@ -743,14 +837,22 @@ class _Lowering:
         from ..config import pallas_interpret
         interp = pallas_interpret()
         if u0.ndim == 3:
-            from ..ops.pallas import rbgs3d
-            if not rbgs3d.supports(u0, vals):
-                return None
-            if red_black:
-                return (rbgs3d.fused_rbgs_sweep_3d(u0, b, om, vals, dinv,
-                                                   interpret=interp),)
-            return (rbgs3d.jacobi_sweep_3d(u0, b, om, vals, dinv,
-                                           interpret=interp),)
+            from ..ops.pallas import rbgs3d, leg3d
+            if rbgs3d.supports(u0, vals):
+                if red_black:
+                    return (rbgs3d.fused_rbgs_sweep_3d(u0, b, om, vals, dinv,
+                                                       interpret=interp),)
+                return (rbgs3d.jacobi_sweep_3d(u0, b, om, vals, dinv,
+                                               interpret=interp),)
+            # plane-blocked kernel exceeds VMEM at this size (255^3
+            # class): the two-axis-blocked kernel takes over
+            if leg3d.supports(u0):
+                if red_black:
+                    return (leg3d.fused_rbgs_sweep_3d2(
+                        u0, b, om, vals, dinv, interpret=interp),)
+                return (leg3d.jacobi_sweep_3d2(u0, b, om, vals, dinv,
+                                               interpret=interp),)
+            return None
         from ..ops.pallas import rbgs
         if not rbgs.supports(u0, vals):
             return None
@@ -830,14 +932,29 @@ class _Lowering:
             self._super_results[key] = None
             return None
         x = self.eval_function(plan["base"])
+        from ..config import fused_cols_enabled
+        if plan["sig"][0] == "sys9":
+            result = self._run_super_fusion_sys(plan, x, taps)
+            self._super_results[key] = result
+            return result
         if len(x) != 1 or not ptransfer.supports(x[0]):
             self._super_results[key] = None
             return None
         b = self.eval_function(plan["res"].rhs)
         u = x[0]
         omegas = [self.omegas[c.global_id] for c in reversed(plan["sweeps"])]
-        from ..config import fused_cols_enabled
-        if fused_cols_enabled():
+        if plan["sig"][0] == "var5":
+            stack = self._var_stack_of(plan["sig"][1], u.dtype)
+            if stack is None or not fused_cols_enabled():
+                self._super_results[key] = None
+                return None
+            from ..ops.pallas import rbgs_var
+            u_s, rc = rbgs_var.presmooth_residual_restrict_var(
+                u, b[0], stack, omegas, taps,
+                red_black=plan["partitioning"] is part.RedBlack,
+                interpret=pallas_interpret())
+            result = ((u_s,), (rc,))
+        elif fused_cols_enabled():
             u_s, rc = ptransfer.presmooth_residual_restrict(
                 u, b[0], omegas, plan["vals"], taps,
                 interpret=pallas_interpret())
@@ -849,6 +966,56 @@ class _Lowering:
             result = ((u_s,), (_col_restrict(rr, taps[1], u.shape[1]),))
         self._super_results[key] = result
         return result
+
+    def _var_stack_of(self, sf, dtype):
+        """Memoized (5, n, m) coefficient stack of a StencilField."""
+        from ..ops.pallas import rbgs_var
+        key = ("var_stack", id(sf), str(dtype))
+        if key not in self.memo:
+            self.memo[key] = rbgs_var.five_point_stack(sf, dtype)
+        return self.memo[key]
+
+    @staticmethod
+    def _sys_minv(coeffs, kind):
+        """Constant FxF point-solve matrix of a sys9 signature, or None."""
+        F = len(coeffs)
+        centers = np.array([[coeffs[i][j][0] for j in range(F)]
+                            for i in range(F)])
+        if kind == "diag":
+            d = np.diag(centers)
+            if np.any(d == 0.0):
+                return None
+            minv = np.diag(1.0 / d)
+        else:
+            if abs(np.linalg.det(centers)) < 1e-30:
+                return None
+            minv = np.linalg.inv(centers)
+        return tuple(tuple(float(v) for v in r) for r in minv)
+
+    def _run_super_fusion_sys(self, plan, x, taps):
+        """sys9 branch of _run_super_fusion: coupled super kernel over the
+        stacked fields (ops/pallas/rbgs_sys.py)."""
+        from ..ops.pallas import rbgs_sys, transfer as ptransfer
+        from ..config import fused_cols_enabled, pallas_interpret
+        coeffs, kind = plan["sig"][1]
+        F = len(coeffs)
+        if not fused_cols_enabled() or len(x) != F or \
+                not ptransfer.supports(x[0]) or \
+                any(f.shape != x[0].shape or f.dtype != x[0].dtype
+                    for f in x):
+            return None
+        minv = self._sys_minv(coeffs, kind)
+        if minv is None:
+            return None
+        b = self.eval_function(plan["res"].rhs)
+        if len(b) != F:
+            return None
+        omegas = [self.omegas[c.global_id] for c in reversed(plan["sweeps"])]
+        us, rc = rbgs_sys.presmooth_residual_restrict_sys(
+            x, b, omegas, coeffs, minv, taps,
+            red_black=plan["partitioning"] is part.RedBlack,
+            interpret=pallas_interpret())
+        return (us, rc)
 
     def _run_post_fusion(self, plan):
         """Execute a planned prolong+correct+post-smooth fusion; returns
@@ -862,18 +1029,54 @@ class _Lowering:
         if taps is None:
             return None
         x = self.eval_function(cgc.approximation)
+        from ..config import fused_cols_enabled
+        if plan["sig"][0] == "sys9":
+            coeffs, kind = plan["sig"][1]
+            F = len(coeffs)
+            if not fused_cols_enabled() or len(x) != F or \
+                    not ptransfer.supports(x[0]) or \
+                    any(f.shape != x[0].shape or f.dtype != x[0].dtype
+                        for f in x):
+                return None
+            minv = self._sys_minv(coeffs, kind)
+            if minv is None:
+                return None
+            nn, mm = x[0].shape
+            e = self.eval_function(corr.operand2)
+            if len(e) != F or any(
+                    ei.shape != ((nn - 1) // 2, (mm - 1) // 2) for ei in e):
+                return None
+            b = self.eval_function(plan["rhs"])
+            if len(b) != F:
+                return None
+            omegas = [self.omegas[cgc.global_id]] + \
+                [self.omegas[c.global_id] for c in reversed(plan["sweeps"])]
+            from ..ops.pallas import rbgs_sys
+            return rbgs_sys.prolong_correct_postsmooth_sys(
+                x, e, b, omegas, coeffs, minv, taps,
+                red_black=plan["partitioning"] is part.RedBlack,
+                interpret=pallas_interpret())
         if len(x) != 1 or not ptransfer.supports(x[0]):
             return None
         u = x[0]
         n, m = u.shape
         e = self.eval_function(corr.operand2)
-        if len(e) != 1 or e[0].dtype != u.dtype or \
-                e[0].shape != ((n - 1) // 2, (m - 1) // 2):
+        # no dtype gate: the coarse tail computes e in f32 even for bf16
+        # states; the kernels cast at entry (round-3 bf16 end-to-end)
+        if len(e) != 1 or e[0].shape != ((n - 1) // 2, (m - 1) // 2):
             return None
         b = self.eval_function(plan["rhs"])
         omegas = [self.omegas[cgc.global_id]] + \
             [self.omegas[c.global_id] for c in reversed(plan["sweeps"])]
-        from ..config import fused_cols_enabled
+        if plan["sig"][0] == "var5":
+            stack = self._var_stack_of(plan["sig"][1], u.dtype)
+            if stack is None or not fused_cols_enabled():
+                return None
+            from ..ops.pallas import rbgs_var
+            return (rbgs_var.prolong_correct_postsmooth_var(
+                u, e[0].astype(u.dtype), b[0], stack, omegas, taps,
+                red_black=plan["partitioning"] is part.RedBlack,
+                interpret=pallas_interpret()),)
         if fused_cols_enabled():
             return (ptransfer.prolong_correct_postsmooth_col(
                 u, e[0].astype(u.dtype), b[0], omegas, plan["vals"], taps,
@@ -882,6 +1085,68 @@ class _Lowering:
         return (ptransfer.prolong_correct_postsmooth(
             u, c_half, b[0], omegas, plan["vals"], taps[0],
             interpret=pallas_interpret()),)
+
+    @staticmethod
+    def _scalar_seven_point(A):
+        """(7-point values) of a scalar constant 3D operator, else None."""
+        entry = A
+        if isinstance(A, system.Operator):
+            if len(A.entries) != 1:
+                return None
+            entry = A.entries[0][0]
+        if type(entry) is not base.Operator:
+            return None
+        if _nonlinear_of(entry) is not None or \
+                _stencil_field_of(entry) is not None:
+            return None
+        st = entry.generate_stencil()
+        if not isinstance(st, constant.Stencil):
+            return None
+        from ..ops.pallas import rbgs3d
+        return rbgs3d.seven_point_values(st)
+
+    @staticmethod
+    def _axis_taps_3d(op):
+        """Per-axis (w-1, w0, w+1) triples of a scalar separable radius-1
+        3D transfer operator, else None."""
+        entries = getattr(op, "entries", None)
+        if entries is not None:
+            if len(entries) != 1:
+                return None
+            op = entries[0][0]
+        st = op.generate_stencil()
+        if not isinstance(st, constant.Stencil):
+            return None
+        fac = ops.separable_factors(st)
+        if fac is None:
+            return None
+        vectors, radii = fac
+        if len(vectors) != 3 or any(r != 1 for r in radii):
+            return None
+        if any(len(v) != 3 or any(isinstance(x, complex) for x in v)
+               for v in vectors):
+            return None
+        return tuple(tuple(float(x) for x in v) for v in vectors)
+
+    def _try_fused_residual_restrict_3d(self, expr):
+        """3D analogue of _try_fused_residual_restrict: residual + full
+        2:1 restriction of a 7-point operator in one two-axis-blocked
+        pass (ops/pallas/leg3d.residual_restrict_3d)."""
+        R, res = expr.operand1, expr.operand2
+        vals = self._scalar_seven_point(res.operator)
+        if vals is None or vals[0] == 0.0:
+            return None
+        from ..ops.pallas import leg3d
+        taps = self._axis_taps_3d(R)
+        if taps is None:
+            return None
+        x = self.eval_function(res.approximation)
+        if len(x) != 1 or not leg3d.supports(x[0]):
+            return None
+        b = self.eval_function(res.rhs)
+        from ..config import pallas_interpret
+        return (leg3d.residual_restrict_3d(x[0], b[0], vals, taps,
+                                           interpret=pallas_interpret()),)
 
     def _try_fused_residual_restrict(self, expr):
         """Multiplication(Restriction, Residual) of a scalar constant
@@ -899,7 +1164,7 @@ class _Lowering:
             return None
         vals = _scalar_five_point(res.operator)
         if vals is None:
-            return None
+            return self._try_fused_residual_restrict_3d(expr)
         from ..ops.pallas import transfer as ptransfer
         taps = self._transfer_three_tap(R)
         if taps is None:
@@ -928,6 +1193,9 @@ class _Lowering:
         if not isinstance(P, (system.Prolongation, base.Prolongation)) or \
                 isinstance(P, base.ZeroProlongation):
             return None
+        if len(x) == 1 and x[0].ndim == 3:
+            return self._try_fused_prolong_correct_3d(cycle, x, omega, P,
+                                                      corr)
         from ..ops.pallas import transfer as ptransfer
         if len(x) != 1 or not ptransfer.supports(x[0]):
             return None
@@ -946,6 +1214,25 @@ class _Lowering:
         from ..config import pallas_interpret
         return (ptransfer.prolong_row_correct(u, c_half, omega, taps[0],
                                               interpret=pallas_interpret()),)
+
+    def _try_fused_prolong_correct_3d(self, cycle, x, omega, P, corr):
+        """3D cycle tail u + omega * P(e) as one two-axis-blocked pass
+        (ops/pallas/leg3d.prolong_correct_3d)."""
+        from ..ops.pallas import leg3d
+        u = x[0]
+        if not leg3d.supports(u):
+            return None
+        taps = self._axis_taps_3d(P)
+        if taps is None:
+            return None
+        e = self.eval_function(corr.operand2)
+        if len(e) != 1 or \
+                e[0].shape != tuple((s - 1) // 2 for s in u.shape):
+            return None
+        from ..config import pallas_interpret
+        return (leg3d.prolong_correct_3d(
+            u, e[0].astype(u.dtype), omega, taps,
+            interpret=pallas_interpret()),)
 
     @staticmethod
     def _is_smoother(corr) -> bool:
@@ -1478,7 +1765,7 @@ def extract_fine_leg_plan(root) -> Optional[FineLegPlan]:
     fused solve loop then falls back to plain step iteration)."""
     post_plans = _plan_post_fusions(root)
     plan_post = post_plans.get(id(root))
-    if plan_post is None:
+    if plan_post is None or plan_post["sig"][0] != "const5":
         return None
     cgc = plan_post["cgc"]
     corr = cgc.correction

@@ -196,12 +196,13 @@ def _fused_rb_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
     zc = jnp.zeros((W, 1), u_full.dtype)
 
     def halfsweep(u, parity):
+        from .transfer import _offdiag_sum
         up = jnp.concatenate([zr, u[:-1, :]], axis=0)
         dn = jnp.concatenate([u[1:, :], zr], axis=0)
         left = jnp.concatenate([zc, u[:, :-1]], axis=1)
         right = jnp.concatenate([u[:, 1:], zc], axis=1)
-        au = (c_center * u + c_w * up + c_e * dn
-              + c_n * left + c_s * right)
+        au = c_center * u + _offdiag_sum(up, dn, left, right,
+                                         c_w, c_e, c_n, c_s)
         upd = omega * dinv * (b_full - au)
         return u + jnp.where(masks[parity], upd, 0.0)
 

@@ -169,3 +169,263 @@ def jacobi_sweep_var(u, b, omega, c_stack, interpret=False):
     """Variable-coefficient damped-Jacobi sweep in one fused pass."""
     return _var_sweep_call(u, b, omega, c_stack, n_half_sweeps=1,
                            interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Super kernels: S sweeps + residual + FULL restriction / prolongation +
+# correction + S post-sweeps, variable coefficients.
+# ---------------------------------------------------------------------------
+# Same leg structure as the constant-coefficient col-fused kernels
+# (ops/pallas/transfer.py): 8-row halos cover S <= 3 sweeps plus the
+# residual; the coefficient stack streams ONCE for the whole leg instead
+# of once per sweep — the dominant saving for variable-coefficient
+# problems, whose HBM floor is coefficient-stream-bound (5 extra arrays).
+
+from .transfer import (_lane_restrict_block, _lane_prolong_block,
+                       restrict_lane_matrix, prolong_lane_matrices,
+                       _ROW_BLOCK_COARSE, _ROW_BLOCK_FINE)
+
+
+def _var_windows(u_refs, b_refs, c_refs, f0, n_rows, W, m):
+    u = jnp.concatenate([u_refs[0][:], u_refs[1][:], u_refs[2][:]],
+                        axis=0).astype(jnp.float32)
+    b = jnp.concatenate([b_refs[0][:], b_refs[1][:], b_refs[2][:]],
+                        axis=0).astype(jnp.float32)
+    gid = jax.lax.broadcasted_iota(jnp.int32, (W, m), 0) + f0 - 8
+    col = jax.lax.broadcasted_iota(jnp.int32, (W, m), 1)
+    valid = (gid >= 0) & (gid < n_rows)
+    u = jnp.where(valid, u, 0.0)
+
+    def cplane(k):
+        return jnp.concatenate(
+            [c_refs[0][k], c_refs[1][k], c_refs[2][k]],
+            axis=0).astype(jnp.float32)
+
+    cc, cn, cs, cw, ce = (cplane(k) for k in range(5))
+    return u, b, (cc, cn, cs, cw, ce), gid, col, valid
+
+
+def _var_halfsweeps(u, b, coeffs, masks, valid, omega_ref, om0, n_sweeps):
+    """masks: (red, black) for RB sweeps or (valid,) for Jacobi."""
+    cc, cn, cs, cw, ce = coeffs
+    W, m = u.shape
+    zr = jnp.zeros((1, m), u.dtype)
+    zc = jnp.zeros((W, 1), u.dtype)
+    dinv = jnp.where(valid, 1.0 / jnp.where(valid, cc, 1.0), 0.0)
+    for k in range(n_sweeps):
+        omega = omega_ref[0, om0 + k]
+        for parity in range(len(masks)):
+            up = jnp.concatenate([zr, u[:-1, :]], axis=0)
+            dn = jnp.concatenate([u[1:, :], zr], axis=0)
+            left = jnp.concatenate([zc, u[:, :-1]], axis=1)
+            right = jnp.concatenate([u[:, 1:], zc], axis=1)
+            au = cc * u + cn * up + cs * dn + cw * left + ce * right
+            upd = omega * dinv * (b - au)
+            u = u + jnp.where(masks[parity], upd, 0.0)
+    return u
+
+
+def _var_residual(u, b, coeffs, valid):
+    cc, cn, cs, cw, ce = coeffs
+    W, m = u.shape
+    zr = jnp.zeros((1, m), u.dtype)
+    zc = jnp.zeros((W, 1), u.dtype)
+    up = jnp.concatenate([zr, u[:-1, :]], axis=0)
+    dn = jnp.concatenate([u[1:, :], zr], axis=0)
+    left = jnp.concatenate([zc, u[:, :-1]], axis=1)
+    right = jnp.concatenate([u[:, 1:], zc], axis=1)
+    au = cc * u + cn * up + cs * dn + cw * left + ce * right
+    return jnp.where(valid, b - au, 0.0)
+
+
+def _var_smooth_rr_kernel(u_p, u_c, u_n, b_p, b_c, b_n, c_p, c_c, c_n_,
+                          omega_ref, rm_ref, us_ref, rc_ref, *, wm1, w0,
+                          wp1, block_rows_c, n_rows, n_sweeps, red_black):
+    i = pl.program_id(0)
+    Rc = block_rows_c
+    m = u_c.shape[1]
+    W = 2 * Rc + 16
+    f0 = i * (2 * Rc)
+    u, b, coeffs, gid, col, valid = _var_windows(
+        (u_p, u_c, u_n), (b_p, b_c, b_n), (c_p, c_c, c_n_), f0, n_rows,
+        W, m)
+    if red_black:
+        checker = ((gid + col) % 2) == 0
+        masks = (checker & valid, (~checker) & valid)
+    else:
+        masks = (valid,)
+    u = _var_halfsweeps(u, b, coeffs, masks, valid, omega_ref, 0, n_sweeps)
+    r = _var_residual(u, b, coeffs, valid)
+
+    us_ref[:] = u[8:8 + 2 * Rc].astype(us_ref.dtype)
+    body = r[8:8 + 2 * Rc].reshape(Rc, 2, m)
+    ev = body[:, 0, :]
+    od = body[:, 1, :]
+    ev_next = jnp.concatenate([ev[1:], r[8 + 2 * Rc:9 + 2 * Rc]], axis=0)
+    rr = wm1 * ev + w0 * od + wp1 * ev_next
+    rc_ref[:] = _lane_restrict_block(rr, rm_ref, m).astype(rc_ref.dtype)
+
+
+def presmooth_residual_restrict_var(u, b, c_stack, omegas, taps,
+                                    red_black=True, interpret=False):
+    """(u_smoothed, rc): S red-black sweeps of a variable-coefficient
+    5-point operator + residual + FULL 2:1 restriction, one HBM pass over
+    u, b and the coefficient stack."""
+    n, m = u.shape
+    nc, mc = (n - 1) // 2, (m - 1) // 2
+    S = len(omegas)
+    assert 1 <= S <= 3
+    Rc = _ROW_BLOCK_COARSE
+    kernel = functools.partial(
+        _var_smooth_rr_kernel, wm1=taps[0][0], w0=taps[0][1],
+        wp1=taps[0][2], block_rows_c=Rc, n_rows=n, n_sweeps=S,
+        red_black=red_black)
+    H = 8
+    RF = 2 * Rc
+    n8 = pl.cdiv(n, H)
+    nblk = pl.cdiv(n, RF)
+    spec_prev = pl.BlockSpec(
+        (H, m), lambda i: (jnp.maximum((i * RF) // H - 1, 0), 0),
+        memory_space=pltpu.VMEM)
+    spec_main = pl.BlockSpec((RF, m), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    spec_next = pl.BlockSpec(
+        (H, m), lambda i: (jnp.minimum((i * RF + RF) // H, n8 - 1), 0),
+        memory_space=pltpu.VMEM)
+    cspec_prev = pl.BlockSpec(
+        (5, H, m), lambda i: (0, jnp.maximum((i * RF) // H - 1, 0), 0),
+        memory_space=pltpu.VMEM)
+    cspec_main = pl.BlockSpec((5, RF, m), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+    cspec_next = pl.BlockSpec(
+        (5, H, m), lambda i: (0, jnp.minimum((i * RF + RF) // H, n8 - 1), 0),
+        memory_space=pltpu.VMEM)
+    spec_mat = pl.BlockSpec((384, 128), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    om = jnp.stack([jnp.asarray(o, jnp.float32)
+                    for o in omegas]).reshape(1, S)
+    rmat = jnp.asarray(restrict_lane_matrix(taps[1]))
+    c = c_stack.astype(u.dtype)
+    u_s, rc = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[spec_prev, spec_main, spec_next,
+                  spec_prev, spec_main, spec_next,
+                  cspec_prev, cspec_main, cspec_next,
+                  pl.BlockSpec(memory_space=pltpu.SMEM), spec_mat],
+        out_specs=[pl.BlockSpec((RF, m), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((Rc, mc), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((nblk * RF, m), u.dtype),
+                   jax.ShapeDtypeStruct((nblk * Rc, mc), u.dtype)],
+        interpret=interpret,
+    )(u, u, u, b, b, b, c, c, c, om, rmat)
+    return u_s[:n], rc[:nc]
+
+
+def _var_pc_smooth_kernel(u_p, u_c, u_n, b_p, b_c, b_n, c_p, c_c, c_n_,
+                          e_p, e_c, e_n, omega_ref, pm_ref, out_ref, *,
+                          pm1, p0, pp1, block_rows_f, n_rows, nc_rows,
+                          n_sweeps, red_black):
+    i = pl.program_id(0)
+    R = block_rows_f
+    m = u_c.shape[1]
+    W = R + 16
+    f0 = i * R
+    Rc = R // 2
+    i0 = i * Rc
+    u, b, coeffs, gid, col, valid = _var_windows(
+        (u_p, u_c, u_n), (b_p, b_c, b_n), (c_p, c_c, c_n_), f0, n_rows,
+        W, m)
+
+    Rcw = Rc + 8
+    mc = e_c.shape[1]
+    e = jnp.concatenate([e_p[4:8, :], e_c[:], e_n[0:4, :]],
+                        axis=0).astype(jnp.float32)
+    cgid = jax.lax.broadcasted_iota(jnp.int32, (Rcw, mc), 0) + i0 - 4
+    e = jnp.where((cgid >= 0) & (cgid < nc_rows), e, 0.0)
+    c_half = _lane_prolong_block(e, pm_ref, m)
+    zc1 = jnp.zeros((1, m), c_half.dtype)
+    c_shift = jnp.concatenate([zc1, c_half[:-1, :]], axis=0)
+    evn = pp1 * c_shift + pm1 * c_half
+    odd = p0 * c_half
+    corr = jnp.stack([evn, odd], axis=1).reshape(2 * Rcw, m)
+    omega0 = omega_ref[0, 0]
+    u = u + omega0 * jnp.where(valid, corr, 0.0)
+
+    if red_black:
+        checker = ((gid + col) % 2) == 0
+        masks = (checker & valid, (~checker) & valid)
+    else:
+        masks = (valid,)
+    u = _var_halfsweeps(u, b, coeffs, masks, valid, omega_ref, 1, n_sweeps)
+    out_ref[:] = u[8:8 + R].astype(out_ref.dtype)
+
+
+def prolong_correct_postsmooth_var(u, e, b, c_stack, omegas, taps,
+                                   red_black=True, interpret=False):
+    """u + omega0 * P(e) (full in-kernel 1:2 interpolation), then
+    ``len(omegas)-1`` red-black sweeps of the variable-coefficient
+    operator — one HBM pass over u, b, e and the coefficient stack."""
+    n, m = u.shape
+    nc, mc = e.shape
+    assert m == 2 * mc + 1 and n == 2 * nc + 1
+    S = len(omegas) - 1
+    assert 1 <= S <= 3
+    R = _ROW_BLOCK_FINE
+    Rc = R // 2
+    kernel = functools.partial(
+        _var_pc_smooth_kernel, pm1=taps[0][0], p0=taps[0][1],
+        pp1=taps[0][2], block_rows_f=R, n_rows=n, nc_rows=nc, n_sweeps=S,
+        red_black=red_black)
+    H = 8
+    n8 = pl.cdiv(n, H)
+    n8c = pl.cdiv(nc, H)
+    cblk_max = pl.cdiv(nc, Rc) - 1
+    nblk = pl.cdiv(n, R)
+    spec_prev = pl.BlockSpec(
+        (H, m), lambda i: (jnp.maximum((i * R) // H - 1, 0), 0),
+        memory_space=pltpu.VMEM)
+    spec_main = pl.BlockSpec((R, m), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    spec_next = pl.BlockSpec(
+        (H, m), lambda i: (jnp.minimum((i * R + R) // H, n8 - 1), 0),
+        memory_space=pltpu.VMEM)
+    cspec_prev = pl.BlockSpec(
+        (5, H, m), lambda i: (0, jnp.maximum((i * R) // H - 1, 0), 0),
+        memory_space=pltpu.VMEM)
+    cspec_main = pl.BlockSpec((5, R, m), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+    cspec_next = pl.BlockSpec(
+        (5, H, m), lambda i: (0, jnp.minimum((i * R + R) // H, n8 - 1), 0),
+        memory_space=pltpu.VMEM)
+    espec_prev = pl.BlockSpec(
+        (H, mc), lambda i: (jnp.clip((i * Rc) // H - 1, 0, n8c - 1), 0),
+        memory_space=pltpu.VMEM)
+    espec_main = pl.BlockSpec(
+        (Rc, mc), lambda i: (jnp.minimum(i, cblk_max), 0),
+        memory_space=pltpu.VMEM)
+    espec_next = pl.BlockSpec(
+        (H, mc), lambda i: (jnp.minimum((i * Rc + Rc) // H, n8c - 1), 0),
+        memory_space=pltpu.VMEM)
+    spec_pmat = pl.BlockSpec((2, 128, 256), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    om = jnp.stack([jnp.asarray(o, jnp.float32)
+                    for o in omegas]).reshape(1, S + 1)
+    pmat = jnp.asarray(prolong_lane_matrices(taps[1]))
+    c = c_stack.astype(u.dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[spec_prev, spec_main, spec_next,
+                  spec_prev, spec_main, spec_next,
+                  cspec_prev, cspec_main, cspec_next,
+                  espec_prev, espec_main, espec_next,
+                  pl.BlockSpec(memory_space=pltpu.SMEM), spec_pmat],
+        out_specs=pl.BlockSpec((R, m), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblk * R, m), u.dtype),
+        interpret=interpret,
+    )(u, u, u, b, b, b, c, c, c, e, e, e, om, pmat)
+    return out[:n]

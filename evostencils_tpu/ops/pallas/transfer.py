@@ -265,8 +265,8 @@ def _smooth_rr_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
             dn = jnp.concatenate([u[1:, :], zr], axis=0)
             left = jnp.concatenate([zc, u[:, :-1]], axis=1)
             right = jnp.concatenate([u[:, 1:], zc], axis=1)
-            upd = omega * (bd - u - (dw * up + de * dn
-                                     + dn_ * left + ds * right))
+            upd = omega * (bd - u - _offdiag_sum(up, dn, left, right,
+                                                 dw, de, dn_, ds))
             u = u + jnp.where(masks[parity], upd, 0.0)
 
     r = jnp.where(valid, b - a_of(u), 0.0)
@@ -396,8 +396,8 @@ def _pc_smooth_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
             dn = jnp.concatenate([u[1:, :], zr], axis=0)
             left = jnp.concatenate([zc, u[:, :-1]], axis=1)
             right = jnp.concatenate([u[:, 1:], zc], axis=1)
-            upd = omega * (bd - u - (dw * up + de * dn
-                                     + dn_ * left + ds * right))
+            upd = omega * (bd - u - _offdiag_sum(up, dn, left, right,
+                                                 dw, de, dn_, ds))
             u = u + jnp.where(masks[parity], upd, 0.0)
 
     out_ref[:] = u[8:8 + R].astype(out_ref.dtype)
@@ -526,15 +526,16 @@ def _vleg_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref, b_curr_ref,
             dn = jnp.concatenate([u[1:, :], zr], axis=0)
             left = jnp.concatenate([zc, u[:, :-1]], axis=1)
             right = jnp.concatenate([u[:, 1:], zc], axis=1)
-            upd = omega * (bd - u - (dw * up + de * dn
-                                     + dn_ * left + ds * right))
+            upd = omega * (bd - u - _offdiag_sum(up, dn, left, right,
+                                                 dw, de, dn_, ds))
             u = u + jnp.where(masks[parity], upd, 0.0)
 
     up = jnp.concatenate([zr, u[:-1, :]], axis=0)
     dn = jnp.concatenate([u[1:, :], zr], axis=0)
     left = jnp.concatenate([zc, u[:, :-1]], axis=1)
     right = jnp.concatenate([u[:, 1:], zc], axis=1)
-    au = (c_center * u + c_w * up + c_e * dn + c_n * left + c_s * right)
+    au = c_center * u + _offdiag_sum(up, dn, left, right,
+                                     c_w, c_e, c_n, c_s)
     r = jnp.where(valid, b - au, 0.0)
 
     us_ref[:] = u[16:16 + R].astype(us_ref.dtype)
@@ -640,6 +641,14 @@ def supports(u, stencil_vals=None) -> bool:
 # AND halves the HBM traffic of the leg<->tail intermediates: the
 # restricted residual is written at (nc, mc) instead of (nc, m), the
 # coarse correction read at (nc, mc).
+
+def _offdiag_sum(up, dn, left, right, dw, de, dn_, ds):
+    """Weighted 4-neighbor sum.  NOTE: an isotropic factoring
+    dw*((up+dn)+(left+right)) was A/B'd on v5e 2026-08-21 and measured
+    NET-SLOWER (1.279 -> 1.396 ms/cycle on the 4095^2 headline): the
+    serialized adds break Mosaic's FMA chains, so the 4-FMA form stays."""
+    return dw * up + de * dn + dn_ * left + ds * right
+
 
 def restrict_lane_matrix(taps) -> np.ndarray:
     """(384, 128) f32 matrix M with M[2j+d, j] = taps[d] — the shared
@@ -773,15 +782,16 @@ def _smooth_rr_col_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
             dn = jnp.concatenate([u[1:, :], zr], axis=0)
             left = jnp.concatenate([zc, u[:, :-1]], axis=1)
             right = jnp.concatenate([u[:, 1:], zc], axis=1)
-            upd = omega * (bd - u - (dw * up + de * dn
-                                     + dn_ * left + ds * right))
+            upd = omega * (bd - u - _offdiag_sum(up, dn, left, right,
+                                                 dw, de, dn_, ds))
             u = u + jnp.where(masks[parity], upd, 0.0)
 
     up = jnp.concatenate([zr, u[:-1, :]], axis=0)
     dn = jnp.concatenate([u[1:, :], zr], axis=0)
     left = jnp.concatenate([zc, u[:, :-1]], axis=1)
     right = jnp.concatenate([u[:, 1:], zc], axis=1)
-    au = (c_center * u + c_w * up + c_e * dn + c_n * left + c_s * right)
+    au = c_center * u + _offdiag_sum(up, dn, left, right,
+                                     c_w, c_e, c_n, c_s)
     r = jnp.where(valid, b - au, 0.0)
 
     us_ref[:] = u[8:8 + 2 * Rc].astype(us_ref.dtype)
@@ -901,8 +911,8 @@ def _pc_smooth_col_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
             dn = jnp.concatenate([u[1:, :], zr], axis=0)
             left = jnp.concatenate([zc, u[:, :-1]], axis=1)
             right = jnp.concatenate([u[:, 1:], zc], axis=1)
-            upd = omega * (bd - u - (dw * up + de * dn
-                                     + dn_ * left + ds * right))
+            upd = omega * (bd - u - _offdiag_sum(up, dn, left, right,
+                                                 dw, de, dn_, ds))
             u = u + jnp.where(masks[parity], upd, 0.0)
 
     out_ref[:] = u[8:8 + R].astype(out_ref.dtype)
@@ -1023,15 +1033,16 @@ def _vleg_col_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
             dn = jnp.concatenate([u[1:, :], zr], axis=0)
             left = jnp.concatenate([zc, u[:, :-1]], axis=1)
             right = jnp.concatenate([u[:, 1:], zc], axis=1)
-            upd = omega * (bd - u - (dw * up + de * dn
-                                     + dn_ * left + ds * right))
+            upd = omega * (bd - u - _offdiag_sum(up, dn, left, right,
+                                                 dw, de, dn_, ds))
             u = u + jnp.where(masks[parity], upd, 0.0)
 
     up = jnp.concatenate([zr, u[:-1, :]], axis=0)
     dn = jnp.concatenate([u[1:, :], zr], axis=0)
     left = jnp.concatenate([zc, u[:, :-1]], axis=1)
     right = jnp.concatenate([u[:, 1:], zc], axis=1)
-    au = (c_center * u + c_w * up + c_e * dn + c_n * left + c_s * right)
+    au = c_center * u + _offdiag_sum(up, dn, left, right,
+                                     c_w, c_e, c_n, c_s)
     r = jnp.where(valid, b - au, 0.0)
 
     us_ref[:] = u[16:16 + R].astype(us_ref.dtype)

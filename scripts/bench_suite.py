@@ -113,8 +113,12 @@ def case_specs():
         return linear_elasticity_2d(max_level=L(11, 5), min_level=L(4, 3))
 
     def _helmholtz():
-        from evostencils_tpu.problems.helmholtz import helmholtz_2d
-        return helmholtz_2d(max_level=L(11, 5), min_level=3)
+        # split-complex form: the whole program is real-typed, so the
+        # Helmholtz row runs ON DEVICE (the axon relay rejects complex64
+        # programs — BASELINE.md round 2); algebraically identical to the
+        # complex cycle (tests/test_split_complex.py)
+        from evostencils_tpu.problems.helmholtz import helmholtz_2d_split
+        return helmholtz_2d_split(max_level=L(11, 5), min_level=3)
 
     def _fas():
         from evostencils_tpu.problems.fas import fas_2d_basic
@@ -142,8 +146,8 @@ def case_specs():
          build(_elasticity, lambda p: std_v(p, omega=1.25), f32),
          "2x2 system, collective RB 1.25"),
         (f"helmholtz2d_{2**L(11,5)-1}sq",
-         build(_helmholtz, lambda p: std_v(p, omega=0.6), np.complex64),
-         "complex shifted-Laplace preconditioner cycle, RB 0.6"),
+         build(_helmholtz, lambda p: std_v(p, omega=0.6), f32),
+         "split-complex shifted-Laplace preconditioner cycle, RB 0.6"),
         (f"fas2d_{2**L(10,5)-1}sq",
          build(_fas, _fas_v, f32), "nonlinear FAS, Newton-Jacobi 0.8"),
     ]

@@ -1,0 +1,116 @@
+"""Helmholtz k/2k/4k robustness at the REFERENCE size (levels 3->7,
+k = 80 schedule) — the reference's generalization/robustness protocol
+(reference scripts/optimize.py:33-37, code_generation/exastencils.py:518-532,
+example_problems/Helmholtz/2D_FD_Helmholtz_fromL3.exa3:144-212).
+
+Solves A u = f (A = -Lap - k^2 with Robin x-boundaries) by BiCGStab
+preconditioned with one shifted-Laplace MG V-cycle per application, to the
+reference target 1e-7.  Runs both formulations:
+
+* complex (complex64/128 program — CPU only; the axon relay rejects c64)
+* split-complex 2x2 real system (device-executable form)
+
+Usage:
+    PYTHONPATH=... python scripts/helmholtz_convergence.py [--device]
+"""
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def run_case(problem, build, tag, maxiter=5000):
+    import jax
+    import jax.numpy as jnp
+    from evostencils_tpu.compiler.cycles import v_cycle
+    from evostencils_tpu.compiler.lower import lower_cycle, operator_applier
+    from evostencils_tpu.ir import partitioning as part
+    from evostencils_tpu.ir import smoother
+    from evostencils_tpu.ops.solvers import (preconditioned_bicgstab,
+                                             preconditioned_bicgstab_split)
+
+    cyc = v_cycle(problem.level_contexts, problem.rhs_entity,
+                  pre_smoothing=2, post_smoothing=1, omega=0.6,
+                  partitioning=part.RedBlack,
+                  smoother_factory=smoother.generate_collective_jacobi,
+                  coarse_operator=problem.coarsest_operator)
+    low = lower_cycle(cyc, problem.approximation, problem.rhs_entity)
+    om = jnp.asarray(low.default_omegas)
+    b = build()
+    mv = operator_applier(problem.outer_solver.operator)
+    split = getattr(problem.outer_solver, "split", False)
+    solver = preconditioned_bicgstab_split if split \
+        else preconditioned_bicgstab
+
+    def precond(fields):
+        zero = tuple(jnp.zeros_like(f) for f in fields)
+        return low.step(zero, fields, om)
+
+    t0 = time.perf_counter()
+    x, k, hist = solver(mv, precond, b, tol=1e-7, maxiter=maxiter,
+                        history_size=0)
+    k = int(k)
+    wall = time.perf_counter() - t0
+    hist = np.asarray(jax.device_get(hist))
+    r0 = hist[0]
+    # final relative residual via one more matvec
+    ax = mv(x)
+    rr = np.sqrt(sum(float(jnp.sum(jnp.abs(bb - aa) ** 2))
+                     for bb, aa in zip(b, ax)))
+    rel = rr / max(r0, 1e-300)
+    rho = (rel) ** (1.0 / max(k, 1))
+    conv = "ok" if rel <= 1.1e-7 and k < maxiter else "NOT CONVERGED"
+    print(f"[helmholtz] {tag}: iters={k} rel_res={rel:.2e} "
+          f"rho={rho:.3f} wall={wall:.1f}s {conv}", flush=True)
+    return k, rel
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--device", action="store_true",
+                        help="run the split-complex cases on the default "
+                             "(TPU) backend instead of forcing CPU")
+    parser.add_argument("--max-level", type=int, default=7)
+    parser.add_argument("--min-level", type=int, default=3)
+    args = parser.parse_args()
+    import os
+    if not args.device:
+        # the shell env pins JAX_PLATFORMS=axon; force CPU for the
+        # convergence study (physics, not device timing)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    if not args.device:
+        # the reference's protocol is f64 C++; f32 BiCGStab recurrence
+        # residuals drift from the true residual at ~1e-5 relative on
+        # this indefinite operator (measured), so the convergence study
+        # runs in f64.  The device (f32-only) run reports iteration
+        # counts with the drift caveat.
+        jax.config.update("jax_enable_x64", True)
+    print(f"[helmholtz] device: {jax.devices()[0]}", file=sys.stderr)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from evostencils_tpu.problems.helmholtz import (helmholtz_2d,
+                                                    helmholtz_2d_split)
+
+    for k in (80.0, 160.0, 320.0):
+        if not args.device:
+            pc = helmholtz_2d(max_level=args.max_level,
+                              min_level=args.min_level, k=k)
+            run_case(pc, pc.build_rhs, f"complex  k={k:.0f} "
+                     f"levels {args.min_level}->{args.max_level}")
+        ps = helmholtz_2d_split(max_level=args.max_level,
+                                min_level=args.min_level, k=k)
+        dt = np.float32 if args.device else np.float64
+        run_case(ps, lambda p=ps: p.rhs_builder(dt),
+                 f"split    k={k:.0f} levels "
+                 f"{args.min_level}->{args.max_level}")
+
+
+if __name__ == "__main__":
+    main()
