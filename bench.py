@@ -36,7 +36,8 @@ def main():
     from evostencils_tpu.problems.poisson import poisson_2d
     from evostencils_tpu.compiler.cycles import v_cycle
     from evostencils_tpu.compiler.lower import lower_cycle
-    from evostencils_tpu.compiler.solve import make_solver, make_cycle_loop
+    from evostencils_tpu.compiler.solve import (
+        make_solver, make_cycle_loop, residual_norm_fn)
     from evostencils_tpu.ir import partitioning as part
     from evostencils_tpu.prediction.performance import (
         PerformanceEvaluator, REFERENCE_CPU, TPU_V5E)
@@ -70,15 +71,19 @@ def main():
     # fetched; a second, never-fetched scalar calibrates the window).
     K = 200
     loop = make_cycle_loop(lowered, K)
+    res_norm = residual_norm_fn(lowered.operator)
 
     def k_and_probe(u, b_fields, om):
         out = loop(u, b_fields, om)
         s = out[0].ravel()[0]
-        return out, s, s + 1
+        # device-numerics probe: the XLA-path residual of the Pallas-cycled
+        # state (fetched once, after timing — see below)
+        rn = res_norm(out, b_fields)
+        return out, s, s + 1, rn
 
     run = jax.jit(k_and_probe)
     t0 = time.perf_counter()
-    u, s, s2 = run(u0, b, omegas)
+    u, s, s2, rn = run(u0, b, omegas)
     float(s)
     print(f"[bench] compile+first: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
@@ -96,7 +101,7 @@ def main():
     for _ in range(4):
         t0 = time.perf_counter()
         for _ in range(R):
-            u, s, s2 = run(u, b, omegas)
+            u, s, s2, rn = run(u, b, omegas)
         float(s)
         times.append(time.perf_counter() - t0)
         spares.append(s2)
@@ -168,20 +173,40 @@ def main():
           file=sys.stderr)
 
     # --- device-numerics probe ---------------------------------------------
-    # The timed K-cycle device state and the CPU solve both sit at the
-    # cycle's fixed point (within the f32 floor), so one mid row of the
-    # device solution must match the CPU solution to ~solver tolerance.
-    # This catches device-only Pallas numerics regressions (the bf16
-    # in-kernel divergence class, BASELINE.md) that the one-element
-    # timing checksum and the CPU-only convergence check would both miss.
+    # The Pallas-cycled device state must satisfy the TRUE equation: its
+    # residual — computed by the XLA-path operator apply inside the same
+    # jitted program, so an in-kernel stencil/residual/transfer error
+    # cannot cancel itself — must sit at the f32 fixed-point floor.  This
+    # catches device-only Pallas numerics regressions (the bf16 in-kernel
+    # divergence class, BASELINE.md) that the one-element timing checksum
+    # and the CPU-only convergence check would both miss.
+    #
+    # A direct device-vs-CPU *solution* comparison is the wrong probe at
+    # this cycle count: the f32 fixed point random-walks in low-frequency
+    # modes (~1e-4 relative row drift after 25 XLA-path cycles on CPU,
+    # 2.2e-4 after 50 — measured 2026-08-21; ~2e-3 after the 2600 device
+    # cycles here), so thousands of cycles drift legitimately above any
+    # solver-tolerance threshold while the residual stays on the floor.
+    rn_b = float(np.sqrt(sum(float(np.vdot(np.asarray(x), np.asarray(x)))
+                             for x in b)))
+    rel_res = float(rn) / rn_b
+    print(f"[bench] device state relative residual after "
+          f"{K * (1 + 4 * R)} cycles: {rel_res:.2e}", file=sys.stderr)
+    if not np.isfinite(rel_res) or rel_res > 1e-4:
+        print("[bench] WARNING: device state does not satisfy the "
+              "discretized equation to the f32 floor — device numerics "
+              "are broken, refusing to report", file=sys.stderr)
+        sys.exit(1)
+    # gross solution cross-check (catches a consistent wrong-operator
+    # fixed point); threshold leaves room for the measured drift above
     mid = u[0].shape[0] // 2
     row_dev = np.asarray(jax.device_get(u[0][mid]))        # 16 KB fetch
     row_cpu = np.asarray(jax.device_get(u_s[0][mid]))
     scale = float(np.max(np.abs(row_cpu))) or 1.0
     row_err = float(np.max(np.abs(row_dev - row_cpu))) / scale
-    print(f"[bench] device-vs-CPU solution row error: {row_err:.2e}",
-          file=sys.stderr)
-    if not np.isfinite(row_err) or row_err > 1e-3:
+    print(f"[bench] device-vs-CPU solution row error: {row_err:.2e} "
+          f"(f32 fixed-point drift; gross threshold 1e-2)", file=sys.stderr)
+    if not np.isfinite(row_err) or row_err > 1e-2:
         print("[bench] WARNING: device solution diverges from CPU "
               "reference — device numerics are broken, refusing to report",
               file=sys.stderr)
