@@ -311,13 +311,28 @@ def _prolongation_axis_matrix(weights, radius, n_fine, n_coarse):
     return m
 
 
+#: grids at or above this many elements get an optimization barrier
+#: between the per-axis contractions (and before the first one): XLA
+#: otherwise fuses the whole chain PLUS its elementwise producers into a
+#: single kernel whose scoped-VMEM working set can exceed the 16M TPU
+#: limit — observed as a compile-time "Ran out of memory in memory space
+#: vmem ... scoped allocation 24.73M" on the 2047² split-complex
+#: Helmholtz, whose variable-coefficient residual (dozens of coefficient
+#: arrays) fused into the 1023→511 transfer dot (2026-08-21).  Small
+#: tail grids keep full fusion.
+_CONTRACT_BARRIER_MIN_ELEMS = 512 * 512
+
+
 def _axis_contract(u, matrices):
     """Apply one banded matrix per axis: out = (M_0 x M_1 x ...) u."""
     out = u
+    big = out.size >= _CONTRACT_BARRIER_MIN_ELEMS
     for k, m in enumerate(matrices):
         mj = jnp.asarray(m, out.dtype) if not np.iscomplexobj(m) \
             else jnp.asarray(m, jnp.promote_types(out.dtype, jnp.complex64))
         out = out.astype(mj.dtype)
+        if big:
+            out = jax.lax.optimization_barrier(out)
         out = jnp.tensordot(mj, out, axes=(1, k))
         # tensordot puts the contracted axis first; rotate it back to k
         out = jnp.moveaxis(out, 0, k)

@@ -74,39 +74,91 @@ def test_complex_five_point_values():
     assert rbgs_cx.complex_five_point_values(st9) is None
 
 
-def test_helmholtz_lowering_fused_matches_generic():
-    """Shifted-Laplace V-cycle (the Helmholtz preconditioner application)
-    through lower_cycle with the Pallas gate forced on (interpret mode)
-    must match the generic complex path."""
-    from evostencils_tpu.problems.helmholtz import helmholtz_2d
+def _run_helmholtz_cycle(problem_fn):
     from evostencils_tpu.compiler.cycles import v_cycle
     from evostencils_tpu.compiler.lower import lower_cycle
     from evostencils_tpu.ir import partitioning as part
+
+    p = problem_fn(max_level=8, min_level=5)
+    p.dtype = np.float32  # -> complex64 grids
+    cyc = v_cycle(p.level_contexts, p.rhs_entity, pre_smoothing=2,
+                  post_smoothing=1, omega=0.6,
+                  partitioning=part.RedBlack,
+                  coarse_operator=p.coarsest_operator)
+    low = lower_cycle(cyc, p.approximation, p.rhs_entity)
+    b = p.build_rhs()
+    u = tuple(jnp.zeros_like(x) for x in b)
+    om = jnp.asarray(low.default_omegas, jnp.float32)
+    for _ in range(3):
+        u = low.step(u, b, om)
+    return np.asarray(u[0])
+
+
+def _ab_pallas(problem_fn):
     from evostencils_tpu import config as cfgmod
-
-    def run():
-        p = helmholtz_2d(max_level=8, min_level=5)
-        p.dtype = np.float32  # -> complex64 grids
-        cyc = v_cycle(p.level_contexts, p.rhs_entity, pre_smoothing=2,
-                      post_smoothing=1, omega=0.6,
-                      partitioning=part.RedBlack,
-                      coarse_operator=p.coarsest_operator)
-        low = lower_cycle(cyc, p.approximation, p.rhs_entity)
-        b = p.build_rhs()
-        u = tuple(jnp.zeros_like(x) for x in b)
-        om = jnp.asarray(low.default_omegas, jnp.float32)
-        for _ in range(3):
-            u = low.step(u, b, om)
-        return np.asarray(u[0])
-
     old = cfgmod.config.use_pallas_kernels
     try:
         cfgmod.config.use_pallas_kernels = False
-        ref = run()
+        ref = _run_helmholtz_cycle(problem_fn)
         cfgmod.config.use_pallas_kernels = True
-        got = run()
+        got = _run_helmholtz_cycle(problem_fn)
     finally:
         cfgmod.config.use_pallas_kernels = old
+    return got, ref
+
+
+def _dirichlet_helmholtz(max_level, min_level):
+    """Shifted-Laplace problem with a CONSTANT stencil everywhere
+    (plain Dirichlet — no Robin fold, no stencil field), the pattern the
+    fused complex kernel accepts."""
+    from evostencils_tpu.problems import helmholtz as hh
+
+    class ConstGen:
+        def __init__(self, k, shift=0.0):
+            self.k = k
+            self.shift = shift
+
+        def generate_stencil(self, grid):
+            return hh._helmholtz_stencil(grid, self.k, self.shift)
+
+    p = hh.helmholtz_2d(max_level=max_level, min_level=min_level)
+    from evostencils_tpu.ir import base, system
+    from evostencils_tpu.problems.api import LevelContext
+    contexts = []
+    for ctx in p.level_contexts:
+        g = ctx.grid[0]
+        op = system.Operator(ctx.operator.name, [[base.Operator(
+            "M", g, ConstGen(hh.K_DEFAULT, hh.SHIFT))]])
+        contexts.append(LevelContext(
+            operator=op, restriction=ctx.restriction,
+            prolongation=ctx.prolongation,
+            approximation=ctx.approximation, grid=ctx.grid))
+    g_min = p.coarsest_operator.entries[0][0].grid
+    p.coarsest_operator = system.Operator(
+        p.coarsest_operator.name, [[base.Operator(
+            "M", g_min, ConstGen(hh.K_DEFAULT, hh.SHIFT))]])
+    p.level_contexts = contexts
+    return p
+
+
+def test_helmholtz_const_lowering_fused_matches_generic():
+    """With a constant complex stencil the fused cx kernel must ENGAGE
+    (results differ in rounding from the generic path) and match it."""
+    got, ref = _ab_pallas(_dirichlet_helmholtz)
     assert np.max(np.abs(got - ref)) > 0  # fused path actually engaged
     np.testing.assert_allclose(got, ref, rtol=0,
                                atol=2e-4 * np.max(np.abs(ref)))
+
+
+def test_helmholtz_robin_fused_path_disengages():
+    """The Robin-folded operator has position-dependent boundary columns
+    (problems/helmholtz.py HelmholtzOperatorGenerator.generate_stencil_field)
+    — the constant-stencil kernel would smooth those columns with the
+    interior stencil, so the lowering must NOT engage it: the Pallas A/B
+    is bit-identical because both runs take the generic path.  Regression
+    test for the id-reuse stencil-field cache bug (compiler/lower.py
+    _stencil_field_of, fixed 2026-08-21) which let the fused kernel
+    engage on exactly this operator."""
+    from evostencils_tpu.problems.helmholtz import helmholtz_2d
+    got, ref = _ab_pallas(helmholtz_2d)
+    assert np.array_equal(got, ref)
