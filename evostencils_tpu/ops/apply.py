@@ -165,11 +165,61 @@ class StencilField:
     variable-coefficient operators (reference gallery.py:93-185 freezes them
     at a sample position instead)."""
 
-    __slots__ = ("offsets", "fields")
+    __slots__ = ("offsets", "fields", "_uniform")
 
     def __init__(self, offsets: Sequence[Tuple[int, ...]], fields):
         self.offsets = tuple(tuple(o) for o in offsets)
         self.fields = list(fields)
+        self._uniform = None
+
+    #: at most this many exceptional axis-0 rows for the almost-uniform
+    #: decomposition (the Robin fold touches exactly 2)
+    _MAX_EXC_ROWS = 4
+
+    def _uniform_values(self):
+        """Per-offset structure descriptor, computed once (trace-time
+        numpy work):
+
+        * ``("const", c)`` — the field is the constant ``c``;
+        * ``("rows", c, [(i, row), ...])`` — constant ``c`` except on a
+          handful of axis-0 rows (``row`` is the row's deviation from
+          ``c``);
+        * ``None`` — genuinely varying, stream the full array.
+
+        Most "variable-coefficient" operators in practice vary in few
+        offsets and few positions (the Robin boundary fold touches only
+        the diagonal, and only the first/last interior column): applying
+        uniform offsets as scalars and near-uniform ones as scalar +
+        cheap row updates avoids streaming a full coefficient array per
+        offset — on the 2047² split-complex Helmholtz every block's 5
+        coefficient arrays reduce this way."""
+        if self._uniform is None:
+            vals = []
+            for f in self.fields:
+                desc = None
+                if isinstance(f, np.ndarray) and f.size and f.ndim >= 1:
+                    c = f.flat[0]
+                    # the modal value is a better base than f.flat[0]
+                    # when the first row is itself exceptional; for the
+                    # fold pattern f.flat[0] sits ON an exceptional row,
+                    # so probe the middle row too
+                    mid = np.atleast_1d(
+                        f[tuple([f.shape[0] // 2]
+                                + [slice(None)] * (f.ndim - 1))])
+                    if mid.size and np.all(mid == mid.flat[0]):
+                        c = mid.flat[0]
+                    neq = f != c
+                    if not neq.any():
+                        desc = ("const", np.asarray(c).item())
+                    else:
+                        exc = np.unique(np.nonzero(neq)[0])
+                        if len(exc) <= self._MAX_EXC_ROWS:
+                            rows = [(int(i), np.asarray(f[int(i)] - c))
+                                    for i in exc]
+                            desc = ("rows", np.asarray(c).item(), rows)
+                vals.append(desc)
+            self._uniform = vals
+        return self._uniform
 
     @property
     def dimension(self):
@@ -191,9 +241,22 @@ class StencilField:
             raise NotImplementedError("StencilField supports dirichlet bc only")
         up = jnp.pad(u, [(r, r) for r in radius])
         acc = None
-        for offset, coeff in zip(self.offsets, self.fields):
-            term = jnp.asarray(coeff, dtype) * _shifted(up, offset, radius, u.shape)
+        row_fixups = []
+        for offset, coeff, uni in zip(self.offsets, self.fields,
+                                      self._uniform_values()):
+            sh = _shifted(up, offset, radius, u.shape)
+            if uni is not None and uni[0] == "const":
+                term = jnp.asarray(uni[1], dtype) * sh
+            elif uni is not None and uni[0] == "rows":
+                term = jnp.asarray(uni[1], dtype) * sh
+                for i, row in uni[2]:
+                    row_fixups.append((i, jnp.asarray(row, dtype)
+                                       * sh[i]))
+            else:
+                term = jnp.asarray(coeff, dtype) * sh
             acc = term if acc is None else acc + term
+        for i, add in row_fixups:
+            acc = acc.at[i].add(add)
         return acc
 
     def diagonal_field(self):

@@ -92,3 +92,45 @@ def test_3d_stencil_field_symmetric_positive():
     A = sf.dense_matrix()
     np.testing.assert_allclose(A, A.T, rtol=1e-12)
     assert np.linalg.eigvalsh(A).min() > 0
+
+
+def test_almost_uniform_decomposition_matches_full_apply():
+    """StencilField.apply's uniform / scalar+exceptional-rows fast paths
+    (ops/apply.py _uniform_values) must be exact against the plain
+    field-product apply for all three structures: fully uniform,
+    uniform-except-two-rows (the Robin-fold pattern), genuinely varying."""
+    import numpy as np
+    import jax.numpy as jnp
+    rng = np.random.default_rng(5)
+    n, m = 17, 13
+    u = jnp.asarray(rng.standard_normal((n, m)))
+    offs = [(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)]
+
+    def dense_apply(sf, u):
+        return sf.dense_matrix() @ np.asarray(u).ravel()
+
+    # fully uniform
+    sf_u = StencilField(offs, [np.full((n, m), c)
+                               for c in (4.0, -1.0, -1.0, -1.0, -1.0)])
+    assert all(d is not None and d[0] == "const"
+               for d in sf_u._uniform_values())
+    np.testing.assert_allclose(np.asarray(sf_u.apply(u)).ravel(),
+                               dense_apply(sf_u, u), atol=1e-12)
+
+    # Robin-fold pattern: diagonal uniform except first/last row
+    diag = np.full((n, m), 4.0)
+    diag[0, :] += 0.25
+    diag[-1, :] += rng.standard_normal(m) * 0.1
+    sf_r = StencilField(offs, [diag] + [np.full((n, m), -1.0)] * 4)
+    descs = sf_r._uniform_values()
+    assert descs[0] is not None and descs[0][0] == "rows" \
+        and len(descs[0][2]) == 2
+    np.testing.assert_allclose(np.asarray(sf_r.apply(u)).ravel(),
+                               dense_apply(sf_r, u), atol=1e-12)
+
+    # genuinely varying -> full-array path
+    sf_v = StencilField(offs, [rng.standard_normal((n, m))
+                               for _ in offs])
+    assert sf_v._uniform_values()[0] is None
+    np.testing.assert_allclose(np.asarray(sf_v.apply(u)).ravel(),
+                               dense_apply(sf_v, u), atol=1e-12)
