@@ -1493,12 +1493,31 @@ class _Lowering:
                 if np.iscomplexobj(arr):
                     dtype = jnp.promote_types(dtype, jnp.complex64)
                 d[i][j] = arr
-        d = [[jnp.asarray(a, dtype) for a in row] for row in d]
         f = [x.astype(dtype) for x in fields]
         if m == 2:
+            # precompute the 2x2 point-INVERSE entries in numpy at trace
+            # time; boundary-folded operators make them constant except
+            # on a couple of rows, so the per-sweep solve applies as four
+            # scalar multiplies + O(n) row fixups instead of streaming
+            # four full-grid matrices (ops/apply.py almost_uniform_desc)
             det = d[0][0] * d[1][1] - d[0][1] * d[1][0]
-            return ((d[1][1] * f[0] - d[0][1] * f[1]) / det,
-                    (d[0][0] * f[1] - d[1][0] * f[0]) / det)
+            minv = [[d[1][1] / det, -d[0][1] / det],
+                    [-d[1][0] / det, d[0][0] / det]]
+            out = []
+            for i in range(2):
+                acc = None
+                fixups = []
+                for j in range(2):
+                    desc = ops.almost_uniform_desc(minv[i][j])
+                    term, fixes = ops.almost_uniform_mul(
+                        desc, minv[i][j], f[j], dtype)
+                    fixups.extend(fixes)
+                    acc = term if acc is None else acc + term
+                for r_i, add in fixups:
+                    acc = acc.at[r_i].add(add)
+                out.append(acc)
+            return tuple(out)
+        d = [[jnp.asarray(a, dtype) for a in row] for row in d]
         D = jnp.stack([jnp.stack(row, axis=-1) for row in d], axis=-2)
         r = jnp.stack(f, axis=-1)[..., None]
         y = jnp.linalg.solve(D, r)[..., 0]

@@ -157,6 +157,52 @@ def apply_stencil(stencil, u, bc: str = "dirichlet"):
     raise TypeError(f"not a stencil: {type(stencil)}")
 
 
+def almost_uniform_desc(f, max_rows: int = 4):
+    """Structure descriptor of a numpy coefficient array:
+
+    * ``("const", c)`` — the array is the constant ``c``;
+    * ``("rows", c, [(i, row - c), ...])`` — constant except on at most
+      ``max_rows`` axis-0 rows;
+    * ``None`` — genuinely varying.
+
+    Boundary-folded operators (Robin columns, split-complex Helmholtz)
+    produce coefficient and point-inverse arrays that are constant except
+    on the first/last interior row — applying them as a scalar plus a
+    couple of O(n) row fixups instead of streaming a full array removes
+    the dominant coefficient HBM traffic."""
+    if not (isinstance(f, np.ndarray) and f.size and f.ndim >= 1):
+        return None
+    c = f.flat[0]
+    # probe the middle row too: for the fold pattern f.flat[0] sits ON an
+    # exceptional row
+    mid = np.atleast_1d(f[tuple([f.shape[0] // 2]
+                               + [slice(None)] * (f.ndim - 1))])
+    if mid.size and np.all(mid == mid.flat[0]):
+        c = mid.flat[0]
+    neq = f != c
+    if not neq.any():
+        return ("const", np.asarray(c).item())
+    exc = np.unique(np.nonzero(neq)[0])
+    if len(exc) <= max_rows:
+        return ("rows", np.asarray(c).item(),
+                [(int(i), np.asarray(f[int(i)] - c)) for i in exc])
+    return None
+
+
+def almost_uniform_mul(desc, arr, x, dtype):
+    """``arr * x`` exploiting an `almost_uniform_desc` descriptor:
+    returns (bulk_term, [(row_index, row_term)]) where the row terms must
+    be ADDED at their rows after summation (callers accumulate all bulk
+    terms first, then apply the O(n) fixups)."""
+    if desc is not None and desc[0] == "const":
+        return jnp.asarray(desc[1], dtype) * x, []
+    if desc is not None and desc[0] == "rows":
+        bulk = jnp.asarray(desc[1], dtype) * x
+        return bulk, [(i, jnp.asarray(row, dtype) * x[i])
+                      for i, row in desc[2]]
+    return jnp.asarray(arr, dtype) * x, []
+
+
 class StencilField:
     """Variable-coefficient stencil: one coefficient field per offset.
 
@@ -172,53 +218,17 @@ class StencilField:
         self.fields = list(fields)
         self._uniform = None
 
-    #: at most this many exceptional axis-0 rows for the almost-uniform
-    #: decomposition (the Robin fold touches exactly 2)
-    _MAX_EXC_ROWS = 4
-
     def _uniform_values(self):
-        """Per-offset structure descriptor, computed once (trace-time
-        numpy work):
-
-        * ``("const", c)`` — the field is the constant ``c``;
-        * ``("rows", c, [(i, row), ...])`` — constant ``c`` except on a
-          handful of axis-0 rows (``row`` is the row's deviation from
-          ``c``);
-        * ``None`` — genuinely varying, stream the full array.
-
-        Most "variable-coefficient" operators in practice vary in few
-        offsets and few positions (the Robin boundary fold touches only
-        the diagonal, and only the first/last interior column): applying
-        uniform offsets as scalars and near-uniform ones as scalar +
-        cheap row updates avoids streaming a full coefficient array per
-        offset — on the 2047² split-complex Helmholtz every block's 5
-        coefficient arrays reduce this way."""
+        """Per-offset `almost_uniform_desc`, computed once (trace-time
+        numpy work).  Most "variable-coefficient" operators in practice
+        vary in few offsets and few positions (the Robin boundary fold
+        touches only the diagonal, and only the first/last interior
+        column): applying uniform offsets as scalars and near-uniform
+        ones as scalar + cheap row updates avoids streaming a full
+        coefficient array per offset — on the 2047² split-complex
+        Helmholtz every block's 5 coefficient arrays reduce this way."""
         if self._uniform is None:
-            vals = []
-            for f in self.fields:
-                desc = None
-                if isinstance(f, np.ndarray) and f.size and f.ndim >= 1:
-                    c = f.flat[0]
-                    # the modal value is a better base than f.flat[0]
-                    # when the first row is itself exceptional; for the
-                    # fold pattern f.flat[0] sits ON an exceptional row,
-                    # so probe the middle row too
-                    mid = np.atleast_1d(
-                        f[tuple([f.shape[0] // 2]
-                                + [slice(None)] * (f.ndim - 1))])
-                    if mid.size and np.all(mid == mid.flat[0]):
-                        c = mid.flat[0]
-                    neq = f != c
-                    if not neq.any():
-                        desc = ("const", np.asarray(c).item())
-                    else:
-                        exc = np.unique(np.nonzero(neq)[0])
-                        if len(exc) <= self._MAX_EXC_ROWS:
-                            rows = [(int(i), np.asarray(f[int(i)] - c))
-                                    for i in exc]
-                            desc = ("rows", np.asarray(c).item(), rows)
-                vals.append(desc)
-            self._uniform = vals
+            self._uniform = [almost_uniform_desc(f) for f in self.fields]
         return self._uniform
 
     @property
@@ -245,15 +255,8 @@ class StencilField:
         for offset, coeff, uni in zip(self.offsets, self.fields,
                                       self._uniform_values()):
             sh = _shifted(up, offset, radius, u.shape)
-            if uni is not None and uni[0] == "const":
-                term = jnp.asarray(uni[1], dtype) * sh
-            elif uni is not None and uni[0] == "rows":
-                term = jnp.asarray(uni[1], dtype) * sh
-                for i, row in uni[2]:
-                    row_fixups.append((i, jnp.asarray(row, dtype)
-                                       * sh[i]))
-            else:
-                term = jnp.asarray(coeff, dtype) * sh
+            term, fixes = almost_uniform_mul(uni, coeff, sh, dtype)
+            row_fixups.extend(fixes)
             acc = term if acc is None else acc + term
         for i, add in row_fixups:
             acc = acc.at[i].add(add)

@@ -22,6 +22,14 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--generations", type=int, default=5)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the checkpoint of a previous run "
+                         "(fitness cache + rng + population restored)")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -45,11 +53,12 @@ def main():
     opt = Optimizer(problem, evaluator=evaluator, rng=random.Random(42),
                     checkpoint_directory_path="/tmp/evolve_device_ckpt")
 
-    gens = 5
+    gens = args.generations
     t_start = time.perf_counter()
     result = opt.evolutionary_optimization(
         mu_=8, lambda_=8, population_initialization_factor=2,
-        generations=gens, verbose=True)
+        generations=gens, continue_from_checkpoint=args.resume,
+        verbose=True)
     wall = time.perf_counter() - t_start
     best = result["best_individual"]
     vals = best.fitness.values
