@@ -40,9 +40,13 @@ from .transfer import (_lane_restrict_block, _lane_prolong_block,
                        _offdiag_sum, restrict_lane_matrix,
                        prolong_lane_matrices)
 
-# block sizes (axis0 planes, axis1 rows); halos H0=2 planes, H1=8 rows
+# block sizes (axis0 planes, axis1 rows); halos H0=2 planes, H1=8 rows.
+# B1=128 measured best on the 255^3 sweep (scripts/tpu_sweep_leg3d_blocks
+# .py, 2026-08-21): 1.909 ms/cycle vs 2.377 at 96 — the padded axis-1
+# extent (256) divides into exactly two blocks, so no ragged tail; wider
+# (8,160+) and taller (12+,128) windows OOM scoped VMEM
 _B0 = 8
-_B1 = 96
+_B1 = 128
 _H0 = 2
 _H1 = 8
 

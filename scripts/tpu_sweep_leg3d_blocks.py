@@ -17,8 +17,7 @@ import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
-CONFIGS = [(8, 96), (8, 128), (16, 96), (16, 128), (8, 192), (24, 96),
-           (16, 64)]
+CONFIGS = [(8, 112), (12, 128), (12, 96), (8, 160), (16, 80), (8, 144)]
 
 
 def main():
