@@ -264,13 +264,60 @@ def _scalar_five_point(A):
     return rbgs.five_point_values(st)
 
 
+def _sys_entry_nine(e):
+    """Classify one block-system entry for the sys9 fused kernels:
+    ``(nine_coeffs, {row: center_delta})`` or None.  Constant stencils
+    inside the 3x3 box classify with no exceptions; StencilField entries
+    classify when every off-center coefficient field is uniform and the
+    center field is uniform up to CONSTANT deltas on a few axis-0 rows —
+    the split-complex Helmholtz Robin fold (problems/helmholtz.py
+    HelmholtzOperatorGenerator.generate_stencil_field, reference
+    Helmholtz/2D_FD_Helmholtz_fromL3.exa4:24-40)."""
+    from ..ops.pallas import rbgs_sys
+    if isinstance(e, base.ZeroOperator):
+        return (0.0,) * 9, {}
+    if type(e) is not base.Operator or _nonlinear_of(e) is not None:
+        return None
+    sf = _stencil_field_of(e)
+    if sf is None:
+        st = e.generate_stencil()
+        if not isinstance(st, constant.Stencil):
+            return None
+        c = rbgs_sys.nine_point_coeffs(st)
+        return None if c is None else (c, {})
+    if set(sf.offsets) - set(rbgs_sys.NINE_OFFSETS):
+        return None
+    nine = [0.0] * 9
+    exc = {}
+    for off, f in zip(sf.offsets, sf.fields):
+        f = np.asarray(f)
+        if np.iscomplexobj(f):
+            return None
+        desc = ops.almost_uniform_desc(f)
+        if desc is None:
+            return None
+        k = rbgs_sys.NINE_OFFSETS.index(off)
+        nine[k] = float(desc[1])
+        if desc[0] == "rows":
+            if off != (0, 0):
+                return None        # only center exceptions are supported
+            for i, row in desc[2]:
+                row = np.asarray(row)
+                if row.size == 0 or np.ptp(row) != 0.0:
+                    return None    # delta must be constant along the row
+                exc[int(i)] = float(row.flat[0])
+    return tuple(nine), exc
+
+
 def _smoother_sig(A, L=None):
     """Fusion signature of a smoothable 2D operator: ("const5", vals) for
     scalar constant stencils, ("var5", sf) for variable-coefficient
-    StencilField form (rbgs_var super kernels), ("sys9", (coeffs, kind))
-    for FxF constant 9-point block systems with a Diagonal /
-    ElementwiseDiagonal smoother L (rbgs_sys super kernels), else None.
-    ``L`` only matters for systems (it selects the point-solve matrix)."""
+    StencilField form (rbgs_var super kernels), ("sys9", (coeffs, kind,
+    exc)) for FxF 9-point block systems with a Diagonal /
+    ElementwiseDiagonal smoother L (rbgs_sys super kernels; ``exc`` holds
+    constant per-row center-coefficient deltas — the split-complex
+    Helmholtz Robin fold), else None.  ``L`` only matters for systems
+    (it selects the point-solve matrix)."""
     vals = _scalar_five_point(A)
     if vals is not None and vals[0] != 0.0:
         return ("const5", vals)
@@ -286,29 +333,26 @@ def _smoother_sig(A, L=None):
                 kind = "diag"
             else:
                 return None
-            from ..ops.pallas import rbgs_sys
             coeffs = []
-            for row in A.entries:
+            exc_rows: Dict[int, np.ndarray] = {}
+            for fi, row in enumerate(A.entries):
                 crow = []
-                for e in row:
-                    if isinstance(e, base.ZeroOperator):
-                        crow.append((0.0,) * 9)
-                        continue
-                    if type(e) is not base.Operator or \
-                            _nonlinear_of(e) is not None or \
-                            _stencil_field_of(e) is not None:
+                for fj, e in enumerate(row):
+                    ce = _sys_entry_nine(e)
+                    if ce is None:
                         return None
-                    st = e.generate_stencil()
-                    if not isinstance(st, constant.Stencil):
-                        return None
-                    c = rbgs_sys.nine_point_coeffs(st)
-                    if c is None:
-                        return None
+                    c, exc = ce
                     crow.append(c)
+                    for i, d in exc.items():
+                        exc_rows.setdefault(
+                            i, np.zeros((F, F)))[fi, fj] = d
                 coeffs.append(tuple(crow))
             if A.entries[0][0].grid.dimension != 2:
                 return None
-            return ("sys9", (tuple(coeffs), kind))
+            exc_t = tuple(sorted(
+                (i, tuple(tuple(float(v) for v in r) for r in dm))
+                for i, dm in exc_rows.items()))
+            return ("sys9", (tuple(coeffs), kind, exc_t))
         entry = A.entries[0][0]
     if type(entry) is not base.Operator or _nonlinear_of(entry) is not None:
         return None
@@ -707,44 +751,34 @@ class _Lowering:
             return None
         if x[0].ndim != 2:
             return None
-        from ..ops.pallas import rbgs_sys
-        from ..stencils.constant import Stencil as _CS
         coeffs = []
-        for row in A.entries:
+        exc_rows: Dict[int, np.ndarray] = {}
+        for fi, row in enumerate(A.entries):
             crow = []
-            for entry in row:
-                if isinstance(entry, base.ZeroOperator):
-                    crow.append((0.0,) * 9)
-                    continue
-                if not isinstance(entry, base.Operator):
+            for fj, entry in enumerate(row):
+                ce = _sys_entry_nine(entry)
+                if ce is None:
                     return None
-                if _nonlinear_of(entry) is not None or \
-                        _stencil_field_of(entry) is not None:
-                    return None
-                st = entry.generate_stencil()
-                if not isinstance(st, _CS):
-                    return None
-                c = rbgs_sys.nine_point_coeffs(st)
-                if c is None:
-                    return None
+                c, exc = ce
                 crow.append(c)
+                for i, d in exc.items():
+                    exc_rows.setdefault(i, np.zeros((F, F)))[fi, fj] = d
             coeffs.append(tuple(crow))
-        centers = np.array([[coeffs[i][j][0] for j in range(F)]
-                            for i in range(F)])
-        if isinstance(L, system.Diagonal):
-            d = np.diag(centers)
-            if np.any(d == 0.0):
-                return None
-            minv = np.diag(1.0 / d)
-        else:
-            if abs(np.linalg.det(centers)) < 1e-30:
-                return None
-            minv = np.linalg.inv(centers)
+        coeffs = tuple(coeffs)
+        kind = "diag" if isinstance(L, system.Diagonal) else "elem"
+        minv = self._sys_minv(coeffs, kind)
+        if minv is None:
+            return None
+        exc_t = tuple(sorted(
+            (i, tuple(tuple(float(v) for v in r) for r in dm))
+            for i, dm in exc_rows.items()))
+        exc_minv = self._sys_minv_exc(coeffs, kind, exc_t, minv)
+        if exc_t and exc_minv is None:
+            return None
         b = self.eval_function(residual.rhs)
         if len(b) != F:
             return None
-        return (tuple(coeffs), tuple(tuple(float(v) for v in r)
-                                     for r in minv), b)
+        return (coeffs, minv, b, exc_t, exc_minv)
 
     def _try_fused_smoother(self, cycle, x, omega):
         """Fast smoother sweep backends for the dominant pattern:
@@ -782,7 +816,11 @@ class _Lowering:
                                            red_black=red_black),)
                 sparts = self._sys_smoother_parts(cycle, x)
                 if sparts is not None:
-                    coeffs, minv, b = sparts
+                    coeffs, minv, b, exc, exc_minv = sparts
+                    if exc:
+                        # the halo pipeline has no row-exception path;
+                        # fall back to the generic sharded lowering
+                        return None
                     om = jnp.asarray(omega, x[0].dtype)
                     return halo.sweep_sys(mesh, x, b, om, coeffs, minv,
                                           red_black=red_black)
@@ -811,14 +849,15 @@ class _Lowering:
                               interpret=pallas_interpret()),)
             sparts = self._sys_smoother_parts(cycle, x)
             if sparts is not None:
-                coeffs, minv, b = sparts
+                coeffs, minv, b, exc, exc_minv = sparts
                 from ..ops.pallas import rbgs_sys
                 if not rbgs_sys.supports(x, coeffs):
                     return None
                 om = jnp.asarray(omega, x[0].dtype)
                 sweep = (rbgs_sys.fused_rbgs_sweep_sys if red_black
                          else rbgs_sys.jacobi_sweep_sys)
-                return sweep(x, b, om, coeffs, minv,
+                return sweep(x, b, om, coeffs, minv, exc=exc,
+                             exc_minv=exc_minv,
                              interpret=pallas_interpret())
             return None
         vals, b = parts
@@ -992,12 +1031,38 @@ class _Lowering:
             minv = np.linalg.inv(centers)
         return tuple(tuple(float(v) for v in r) for r in minv)
 
+    @staticmethod
+    def _sys_minv_exc(coeffs, kind, exc, minv):
+        """Per-exceptional-row point-inverse deltas matching ``exc``
+        (constant center-coefficient row deltas): tuple of
+        ``(row, FxF dminv)`` with dminv = inv(C + D_row) - inv(C)."""
+        if not exc:
+            return ()
+        F = len(coeffs)
+        centers = np.array([[coeffs[i][j][0] for j in range(F)]
+                            for i in range(F)])
+        out = []
+        for row, dmat in exc:
+            cm = centers + np.asarray(dmat)
+            if kind == "diag":
+                d = np.diag(cm)
+                if np.any(d == 0.0):
+                    return None
+                mi = np.diag(1.0 / d)
+            else:
+                if abs(np.linalg.det(cm)) < 1e-30:
+                    return None
+                mi = np.linalg.inv(cm)
+            dm = mi - np.asarray(minv)
+            out.append((row, tuple(tuple(float(v) for v in r) for r in dm)))
+        return tuple(out)
+
     def _run_super_fusion_sys(self, plan, x, taps):
         """sys9 branch of _run_super_fusion: coupled super kernel over the
         stacked fields (ops/pallas/rbgs_sys.py)."""
         from ..ops.pallas import rbgs_sys, transfer as ptransfer
         from ..config import fused_cols_enabled, pallas_interpret
-        coeffs, kind = plan["sig"][1]
+        coeffs, kind = plan["sig"][1][:2]
         F = len(coeffs)
         if not fused_cols_enabled() or len(x) != F or \
                 not ptransfer.supports(x[0]) or \
@@ -1007,6 +1072,10 @@ class _Lowering:
         minv = self._sys_minv(coeffs, kind)
         if minv is None:
             return None
+        exc = plan["sig"][1][2]
+        exc_minv = self._sys_minv_exc(coeffs, kind, exc, minv)
+        if exc and exc_minv is None:
+            return None
         b = self.eval_function(plan["res"].rhs)
         if len(b) != F:
             return None
@@ -1014,6 +1083,7 @@ class _Lowering:
         us, rc = rbgs_sys.presmooth_residual_restrict_sys(
             x, b, omegas, coeffs, minv, taps,
             red_black=plan["partitioning"] is part.RedBlack,
+            exc=exc, exc_minv=exc_minv,
             interpret=pallas_interpret())
         return (us, rc)
 
@@ -1031,7 +1101,7 @@ class _Lowering:
         x = self.eval_function(cgc.approximation)
         from ..config import fused_cols_enabled
         if plan["sig"][0] == "sys9":
-            coeffs, kind = plan["sig"][1]
+            coeffs, kind = plan["sig"][1][:2]
             F = len(coeffs)
             if not fused_cols_enabled() or len(x) != F or \
                     not ptransfer.supports(x[0]) or \
@@ -1040,6 +1110,10 @@ class _Lowering:
                 return None
             minv = self._sys_minv(coeffs, kind)
             if minv is None:
+                return None
+            exc = plan["sig"][1][2]
+            exc_minv = self._sys_minv_exc(coeffs, kind, exc, minv)
+            if exc and exc_minv is None:
                 return None
             nn, mm = x[0].shape
             e = self.eval_function(corr.operand2)
@@ -1055,6 +1129,7 @@ class _Lowering:
             return rbgs_sys.prolong_correct_postsmooth_sys(
                 x, e, b, omegas, coeffs, minv, taps,
                 red_black=plan["partitioning"] is part.RedBlack,
+                exc=exc, exc_minv=exc_minv,
                 interpret=pallas_interpret())
         if len(x) != 1 or not ptransfer.supports(x[0]):
             return None

@@ -17,6 +17,15 @@ matrix (collective / ElementwiseDiagonal smoothing) or of its diagonal
 (decoupled Diagonal smoothing) — for the reference elasticity operator the
 two coincide because dxy has no center entry.
 
+Almost-uniform row exceptions (``exc`` / ``exc_minv``): operators whose
+CENTER coefficient differs by a constant on a handful of axis-0 rows —
+the split-complex Helmholtz Robin fold (reference
+Helmholtz/2D_FD_Helmholtz_fromL3.exa4:24-40 folds the Sommerfeld ghost
+relation into the first/last interior row's diagonal) — are handled with
+pure scalar fixups selected by the in-kernel global-row iota: ``exc`` is
+a tuple of ``(row, FxF center-coefficient deltas)``, ``exc_minv`` of
+``(row, FxF point-inverse deltas)``.  Zero extra memory traffic.
+
 Window/halo scheme identical to ops/pallas/rbgs.py: row-block tiling with
 two halo rows per side so the black half recomputes post-red edge
 neighbors locally.
@@ -61,10 +70,33 @@ def supports(fields, coeffs) -> bool:
             and u.shape[0] > _BLOCK_ROWS)
 
 
+def _exc_center_terms(au, fi, us, gid, exc):
+    """Add the exceptional-row center-coefficient contributions of row
+    ``fi`` of the block operator to the accumulated ``A u`` terms."""
+    for row, dmat in exc:
+        for fj in range(len(us)):
+            d = dmat[fi][fj]
+            if d != 0.0:
+                term = jnp.where(gid == row, d * us[fj], 0.0)
+                au = term if au is None else au + term
+    return au
+
+
+def _exc_minv_terms(upd, fi, rs, gid, exc_minv):
+    """Add the exceptional-row point-inverse contributions to an update."""
+    for row, dmat in exc_minv:
+        for fj in range(len(rs)):
+            d = dmat[fi][fj]
+            if d != 0.0:
+                term = jnp.where(gid == row, d * rs[fj], 0.0)
+                upd = term if upd is None else upd + term
+    return upd
+
+
 def _fused_sys_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
                       b_curr_ref, b_next_ref, omega_ref, out_ref, *,
                       coeffs, minv, n_fields, block_rows, n_rows,
-                      n_half_sweeps):
+                      n_half_sweeps, exc=(), exc_minv=()):
     """Red AND black half-sweeps (or one Jacobi sweep) of an FxF
     block-stencil system over a row block, on stacked (F, rows, m)
     fields.  coeffs[i][j][k] is block (i,j)'s coefficient at
@@ -123,6 +155,7 @@ def _fused_sys_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
                         continue
                     term = c * sh[fj][k]
                     au = term if au is None else au + term
+            au = _exc_center_terms(au, fi, us, gid, exc)
             rs.append(bs[fi] - (au if au is not None else 0.0))
         mask = masks[parity]
         out = []
@@ -133,6 +166,7 @@ def _fused_sys_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
                     continue
                 term = minv[fi][fj] * rs[fj]
                 upd = term if upd is None else upd + term
+            upd = _exc_minv_terms(upd, fi, rs, gid, exc_minv)
             upd = omega * upd if upd is not None else jnp.zeros_like(us[fi])
             out.append(us[fi] + jnp.where(mask, upd, 0.0))
         return out
@@ -144,14 +178,15 @@ def _fused_sys_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
 
 
 def _sys_sweep_call(fields, b_fields, omega, coeffs, minv, *,
-                    n_half_sweeps, interpret=False):
+                    n_half_sweeps, exc=(), exc_minv=(), interpret=False):
     F = len(fields)
     n, m = fields[0].shape
     R = _BLOCK_ROWS
     grid = (pl.cdiv(n, R),)
     kernel = functools.partial(
         _fused_sys_kernel, coeffs=coeffs, minv=minv, n_fields=F,
-        block_rows=R, n_rows=n, n_half_sweeps=n_half_sweeps)
+        block_rows=R, n_rows=n, n_half_sweeps=n_half_sweeps,
+        exc=exc, exc_minv=exc_minv)
 
     us = jnp.stack(list(fields))
     bs = jnp.stack(list(b_fields))
@@ -182,17 +217,19 @@ def _sys_sweep_call(fields, b_fields, omega, coeffs, minv, *,
 
 
 def fused_rbgs_sweep_sys(fields, b_fields, omega, coeffs, minv,
-                         interpret=False):
+                         exc=(), exc_minv=(), interpret=False):
     """Full coupled red-black system sweep in one fused pass."""
     return _sys_sweep_call(fields, b_fields, omega, coeffs, minv,
-                           n_half_sweeps=2, interpret=interpret)
+                           n_half_sweeps=2, exc=exc, exc_minv=exc_minv,
+                           interpret=interpret)
 
 
 def jacobi_sweep_sys(fields, b_fields, omega, coeffs, minv,
-                     interpret=False):
+                     exc=(), exc_minv=(), interpret=False):
     """Coupled damped-Jacobi system sweep in one fused pass."""
     return _sys_sweep_call(fields, b_fields, omega, coeffs, minv,
-                           n_half_sweeps=1, interpret=interpret)
+                           n_half_sweeps=1, exc=exc, exc_minv=exc_minv,
+                           interpret=interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -239,7 +276,7 @@ def _sys_shifts(u, zr, zc):
             left(up), right(up), left(dn), right(dn))
 
 
-def _sys_residuals(us, bs, coeffs, valid=None):
+def _sys_residuals(us, bs, coeffs, gid=None, exc=(), valid=None):
     F = len(us)
     W, m = us[0].shape
     zr = jnp.zeros((1, m), us[0].dtype)
@@ -255,17 +292,20 @@ def _sys_residuals(us, bs, coeffs, valid=None):
                     continue
                 term = c * sh[fj][k]
                 au = term if au is None else au + term
+        if exc:
+            au = _exc_center_terms(au, fi, us, gid, exc)
         r = bs[fi] - (au if au is not None else 0.0)
         rs.append(jnp.where(valid, r, 0.0) if valid is not None else r)
     return rs
 
 
-def _sys_halfsweeps(us, bs, coeffs, minv, masks, omega_ref, om0, n_sweeps):
+def _sys_halfsweeps(us, bs, coeffs, minv, masks, omega_ref, om0, n_sweeps,
+                    gid=None, exc=(), exc_minv=()):
     F = len(us)
     for s in range(n_sweeps):
         omega = omega_ref[0, om0 + s]
         for parity in range(len(masks)):
-            rs = _sys_residuals(us, bs, coeffs)
+            rs = _sys_residuals(us, bs, coeffs, gid, exc)
             mask = masks[parity]
             nxt = []
             for fi in range(F):
@@ -275,6 +315,7 @@ def _sys_halfsweeps(us, bs, coeffs, minv, masks, omega_ref, om0, n_sweeps):
                         continue
                     term = minv[fi][fj] * rs[fj]
                     upd = term if upd is None else upd + term
+                upd = _exc_minv_terms(upd, fi, rs, gid, exc_minv)
                 upd = omega * upd if upd is not None \
                     else jnp.zeros_like(us[fi])
                 nxt.append(us[fi] + jnp.where(mask, upd, 0.0))
@@ -285,7 +326,7 @@ def _sys_halfsweeps(us, bs, coeffs, minv, masks, omega_ref, om0, n_sweeps):
 def _sys_smooth_rr_kernel(u_p, u_c, u_n, b_p, b_c, b_n, omega_ref, rm_ref,
                           us_ref, rc_ref, *, coeffs, minv, n_fields, wm1,
                           w0, wp1, block_rows_c, n_rows, n_sweeps,
-                          red_black):
+                          red_black, exc=(), exc_minv=()):
     i = pl.program_id(0)
     F = n_fields
     Rc = block_rows_c
@@ -300,8 +341,8 @@ def _sys_smooth_rr_kernel(u_p, u_c, u_n, b_p, b_c, b_n, omega_ref, rm_ref,
     else:
         masks = (valid,)
     us = _sys_halfsweeps(us, bs, coeffs, minv, masks, omega_ref, 0,
-                         n_sweeps)
-    rs = _sys_residuals(us, bs, coeffs, valid)
+                         n_sweeps, gid, exc, exc_minv)
+    rs = _sys_residuals(us, bs, coeffs, gid, exc, valid)
     for k in range(F):
         us_ref[k] = us[k][8:8 + 2 * Rc].astype(us_ref.dtype)
         body = rs[k][8:8 + 2 * Rc].reshape(Rc, 2, m)
@@ -314,7 +355,8 @@ def _sys_smooth_rr_kernel(u_p, u_c, u_n, b_p, b_c, b_n, omega_ref, rm_ref,
 
 
 def presmooth_residual_restrict_sys(fields, b_fields, omegas, coeffs, minv,
-                                    taps, red_black=True, interpret=False):
+                                    taps, red_black=True, exc=(),
+                                    exc_minv=(), interpret=False):
     """(smoothed fields, restricted residuals): S coupled sweeps of an
     FxF 9-point block system + residuals + FULL 2:1 restriction per
     field, one HBM pass over all fields and right-hand sides."""
@@ -327,7 +369,8 @@ def presmooth_residual_restrict_sys(fields, b_fields, omegas, coeffs, minv,
     kernel = functools.partial(
         _sys_smooth_rr_kernel, coeffs=coeffs, minv=minv, n_fields=F,
         wm1=taps[0][0], w0=taps[0][1], wp1=taps[0][2], block_rows_c=Rc,
-        n_rows=n, n_sweeps=S, red_black=red_black)
+        n_rows=n, n_sweeps=S, red_black=red_black, exc=exc,
+        exc_minv=exc_minv)
     H = 8
     RF = 2 * Rc
     n8 = pl.cdiv(n, H)
@@ -371,7 +414,8 @@ def presmooth_residual_restrict_sys(fields, b_fields, omegas, coeffs, minv,
 def _sys_pc_smooth_kernel(u_p, u_c, u_n, b_p, b_c, b_n, e_p, e_c, e_n,
                           omega_ref, pm_ref, out_ref, *, coeffs, minv,
                           n_fields, pm1, p0, pp1, block_rows_f, n_rows,
-                          nc_rows, n_sweeps, red_black):
+                          nc_rows, n_sweeps, red_black, exc=(),
+                          exc_minv=()):
     i = pl.program_id(0)
     F = n_fields
     R = block_rows_f
@@ -407,14 +451,14 @@ def _sys_pc_smooth_kernel(u_p, u_c, u_n, b_p, b_c, b_n, e_p, e_c, e_n,
     else:
         masks = (valid,)
     us = _sys_halfsweeps(us, bs, coeffs, minv, masks, omega_ref, 1,
-                         n_sweeps)
+                         n_sweeps, gid, exc, exc_minv)
     for k in range(F):
         out_ref[k] = us[k][8:8 + R].astype(out_ref.dtype)
 
 
 def prolong_correct_postsmooth_sys(fields, e_fields, b_fields, omegas,
                                    coeffs, minv, taps, red_black=True,
-                                   interpret=False):
+                                   exc=(), exc_minv=(), interpret=False):
     """fields + omega0 * P(e) per field (full in-kernel 1:2
     interpolation), then ``len(omegas)-1`` coupled sweeps — one HBM pass
     over all fields, right-hand sides and coarse corrections."""
@@ -429,7 +473,8 @@ def prolong_correct_postsmooth_sys(fields, e_fields, b_fields, omegas,
     kernel = functools.partial(
         _sys_pc_smooth_kernel, coeffs=coeffs, minv=minv, n_fields=F,
         pm1=taps[0][0], p0=taps[0][1], pp1=taps[0][2], block_rows_f=R,
-        n_rows=n, nc_rows=nc, n_sweeps=S, red_black=red_black)
+        n_rows=n, nc_rows=nc, n_sweeps=S, red_black=red_black, exc=exc,
+        exc_minv=exc_minv)
     H = 8
     n8 = pl.cdiv(n, H)
     n8c = pl.cdiv(nc, H)
