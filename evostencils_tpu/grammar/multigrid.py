@@ -98,9 +98,15 @@ class Types:
 
 
 def add_level(pset: PrimitiveSet, terminals: Terminals, types: Types,
-              depth: int, coarsest: bool = False, FAS: bool = False):
+              depth: int, coarsest: bool = False, FAS: bool = False,
+              coupled_fields: bool = False):
     """Register one level's productions (reference
-    grammar/multigrid.py:238-385)."""
+    grammar/multigrid.py:238-385).
+
+    ``coupled_fields``: the system's fields are components of one logical
+    complex field (split-complex Helmholtz) — "decoupled" smoothing then
+    means complex point division, i.e. collective over the block, keeping
+    the search space identical to the complex formulation's."""
     if not coarsest:
         pset.addTerminal(system.ZeroApproximation(terminals.coarse_grid),
                          types.x_2h, f"zero_{depth + 1}")
@@ -182,8 +188,9 @@ def add_level(pset: PrimitiveSet, terminals: Terminals, types: Types,
         return update(relaxation_factor_index, partitioning_, cycle)
 
     def decoupled_jacobi(relaxation_factor_index, partitioning_, cycle):
-        return smoothing(relaxation_factor_index, partitioning_,
-                         smoother.generate_decoupled_jacobi, cycle)
+        gen = (smoother.generate_collective_jacobi if coupled_fields
+               else smoother.generate_decoupled_jacobi)
+        return smoothing(relaxation_factor_index, partitioning_, gen, cycle)
 
     def collective_jacobi(relaxation_factor_index, partitioning_, cycle):
         return smoothing(relaxation_factor_index, partitioning_,
@@ -343,7 +350,8 @@ def generate_primitive_set(approximation, rhs, level_contexts,
                            coarse_grid_solver_expression=None,
                            depth: Optional[int] = None,
                            enable_partitioning: bool = True,
-                           FAS: bool = False):
+                           FAS: bool = False,
+                           coupled_fields: bool = False):
     """Assemble the full multi-level grammar (reference
     grammar/multigrid.py:409-478).
 
@@ -387,7 +395,8 @@ def generate_primitive_set(approximation, rhs, level_contexts,
             pset.addTerminal(i, types.NewtonSteps, f"newton_{i}")
 
     coarsest = depth == 1
-    add_level(pset, terminals, types, 0, coarsest=coarsest, FAS=FAS)
+    add_level(pset, terminals, types, 0, coarsest=coarsest, FAS=FAS,
+              coupled_fields=coupled_fields)
     terminal_list = [terminals]
     for k in range(1, depth):
         ctx = level_contexts[k]
@@ -400,6 +409,7 @@ def generate_primitive_set(approximation, rhs, level_contexts,
             relaxation_factor_interval,
             [part.RedBlack] if enable_partitioning else [])
         types = Types(k, previous_types=types, FAS=FAS)
-        add_level(pset, terminals, types, k, coarsest=coarsest, FAS=FAS)
+        add_level(pset, terminals, types, k, coarsest=coarsest, FAS=FAS,
+                  coupled_fields=coupled_fields)
         terminal_list.append(terminals)
     return pset, terminal_list

@@ -523,7 +523,8 @@ class Optimizer:
                 problem.level_contexts, problem.coarsest_operator,
                 maximum_local_system_size=self._maximum_local_system_size,
                 enable_partitioning=self._enable_partitioning,
-                FAS=problem.nonlinear_term is not None)
+                FAS=problem.nonlinear_term is not None,
+                coupled_fields=getattr(problem, 'coupled_fields', False))
             self._pset = pset
         # regrow the robustness variants with the base problem: their old
         # psets name OLD-level entities, so every re-parse after the shift
@@ -547,7 +548,8 @@ class Optimizer:
                     variant.level_contexts, variant.coarsest_operator,
                     maximum_local_system_size=self._maximum_local_system_size,
                     enable_partitioning=self._enable_partitioning,
-                    FAS=variant.nonlinear_term is not None)
+                    FAS=variant.nonlinear_term is not None,
+                    coupled_fields=getattr(variant, 'coupled_fields', False))
                 ev_v = CycleEvaluator(
                     variant, dtype=self.evaluator.dtype,
                     max_iterations=self.evaluator.max_iterations,
@@ -699,7 +701,8 @@ class Optimizer:
             pset, _ = generate_primitive_set(
                 approximation, rhs, chunk_contexts, coarsest_op,
                 maximum_local_system_size=maximum_local_system_size,
-                enable_partitioning=enable_partitioning, FAS=FAS)
+                enable_partitioning=enable_partitioning, FAS=FAS,
+                coupled_fields=getattr(problem, 'coupled_fields', False))
             self.individual_cache.clear()
             self._pset = pset
             if ci == 0:
@@ -726,7 +729,9 @@ class Optimizer:
                 pset_v, _ = generate_primitive_set(
                     v_approx, v_rhs, v_ctxs, v_coarsest,
                     maximum_local_system_size=maximum_local_system_size,
-                    enable_partitioning=enable_partitioning, FAS=FAS)
+                    enable_partitioning=enable_partitioning, FAS=FAS,
+                    coupled_fields=getattr(variant, 'coupled_fields',
+                                           False))
                 # variant evaluators inherit the base evaluator's settings
                 # in BOTH branches (and in _rebuild_problem): a non-default
                 # base dtype/iteration budget must not silently change the
@@ -848,7 +853,8 @@ class Optimizer:
             pset, _ = generate_primitive_set(
                 approximation, rhs, chunk_contexts, coarsest_op,
                 maximum_local_system_size=maximum_local_system_size,
-                enable_partitioning=enable_partitioning, FAS=FAS)
+                enable_partitioning=enable_partitioning, FAS=FAS,
+                coupled_fields=getattr(problem, 'coupled_fields', False))
             try:
                 ind = gp.parse_tree(chunk_strings[ci], pset)
             except (KeyError, ValueError, SyntaxError) as e:

@@ -49,6 +49,13 @@ class Problem:
     # outer Krylov wrapper (e.g. Helmholtz preconditioned BiCGStab); the
     # evolved cycle then acts as the preconditioner, see problems/helmholtz.py
     outer_solver: Optional[object] = None
+    # the fields are components of ONE logical (complex) field — e.g. the
+    # split-complex Helmholtz (re, im) pair.  The grammar then makes
+    # "decoupled" smoothers collective so the search space matches the
+    # complex formulation's (per-field diagonal smoothing of a split pair
+    # ignores the re/im coupling — a choice the reference's complex search
+    # space cannot express and which diverges on indefinite operators).
+    coupled_fields: bool = False
 
     @property
     def finest_grid(self) -> List[Grid]:

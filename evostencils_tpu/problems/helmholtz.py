@@ -252,7 +252,12 @@ def helmholtz_2d_split(max_level: int = 7, min_level: int = 3,
                       level_contexts=contexts, coarsest_operator=coarsest,
                       rhs_entity=rhs_entity, rhs_builder=rhs_builder,
                       target_reduction=1e-7, max_iterations=10000,
-                      dtype=np.float32)
+                      dtype=np.float32,
+                      # (re, im) are ONE logical complex field: keep the
+                      # grammar's smoother choices identical to the
+                      # complex formulation's (decoupled == complex point
+                      # division, not per-part diagonal)
+                      coupled_fields=True)
     problem.outer_solver = OuterSolverSpec(
         name="PreconditionedBiCGStab", operator=a_op, tolerance=1e-7,
         max_iterations=10000, rhs_builder=rhs_builder, split=True)

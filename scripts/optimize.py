@@ -39,6 +39,11 @@ def get_problem(name, max_level=None, min_level=None):
     try:
         from evostencils_tpu.problems import helmholtz
         factories["helmholtz2d"] = (helmholtz.helmholtz_2d, 7, 3)
+        # split-complex 2x2 real form: the device-executable Helmholtz
+        # (the axon relay rejects complex64 programs; algebraically
+        # identical — tests/test_split_complex.py)
+        factories["helmholtz2d_split"] = (helmholtz.helmholtz_2d_split,
+                                          7, 3)
     except (ImportError, AttributeError):
         pass
     try:
@@ -121,12 +126,16 @@ def main():
         # (reference scripts/optimize.py:33-37, exastencils.py:518-532)
         robustness = []
         robustness_factories = None
-        if args.problem == "helmholtz2d" and not args.no_robustness:
-            from evostencils_tpu.problems.helmholtz import (helmholtz_2d,
-                                                            K_DEFAULT)
+        if args.problem in ("helmholtz2d", "helmholtz2d_split") \
+                and not args.no_robustness:
+            from evostencils_tpu.problems.helmholtz import (
+                helmholtz_2d, helmholtz_2d_split, K_DEFAULT)
+            factory = (helmholtz_2d_split
+                       if args.problem == "helmholtz2d_split"
+                       else helmholtz_2d)
             robustness_factories = [
-                (lambda lo, hi, kk=f * K_DEFAULT:
-                 helmholtz_2d(max_level=hi, min_level=lo, k=kk))
+                (lambda lo, hi, kk=f * K_DEFAULT, fac=factory:
+                 fac(max_level=hi, min_level=lo, k=kk))
                 for f in (2, 4)]
             robustness = [
                 f(args.min_level or 3, args.max_level or 7)
