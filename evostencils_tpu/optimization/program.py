@@ -890,7 +890,8 @@ class Optimizer:
             problem.level_contexts, problem.coarsest_operator,
             maximum_local_system_size=maximum_local_system_size,
             enable_partitioning=enable_partitioning,
-            FAS=problem.nonlinear_term is not None)
+            FAS=problem.nonlinear_term is not None,
+            coupled_fields=getattr(problem, 'coupled_fields', False))
         individual = gp.parse_tree(grammar_string, pset)
         state = gp.compile_tree(individual, pset)
         expression = state[0]
