@@ -287,6 +287,8 @@ def _sys_entry_nine(e):
         return None if c is None else (c, {})
     if set(sf.offsets) - set(rbgs_sys.NINE_OFFSETS):
         return None
+    if len(set(sf.offsets)) != len(sf.offsets):
+        return None     # duplicate offset would silently overwrite
     nine = [0.0] * 9
     exc = {}
     for off, f in zip(sf.offsets, sf.fields):
@@ -307,6 +309,35 @@ def _sys_entry_nine(e):
                     return None    # delta must be constant along the row
                 exc[int(i)] = float(row.flat[0])
     return tuple(nine), exc
+
+
+def _sys_nine_table(A):
+    """Per-entry 9-point coefficient tables of an FxF block system plus
+    the normalized exceptional-row tuple ``exc_t`` (sorted
+    (row, FxF center-delta matrix) pairs — the split-complex Helmholtz
+    Robin fold).  Single construction site for the fusion signature AND
+    the runtime kernel parts: the plan signature and the executed parts
+    must never desynchronize (round-3 advisor).  Returns
+    (coeffs, exc_t) or None when any entry is outside the 3x3 box /
+    non-constant beyond row exceptions."""
+    F = len(A.entries)
+    coeffs = []
+    exc_rows: Dict[int, np.ndarray] = {}
+    for fi, row in enumerate(A.entries):
+        crow = []
+        for fj, e in enumerate(row):
+            ce = _sys_entry_nine(e)
+            if ce is None:
+                return None
+            c, exc = ce
+            crow.append(c)
+            for i, d in exc.items():
+                exc_rows.setdefault(i, np.zeros((F, F)))[fi, fj] = d
+        coeffs.append(tuple(crow))
+    exc_t = tuple(sorted(
+        (i, tuple(tuple(float(v) for v in r) for r in dm))
+        for i, dm in exc_rows.items()))
+    return tuple(coeffs), exc_t
 
 
 def _smoother_sig(A, L=None):
@@ -333,26 +364,13 @@ def _smoother_sig(A, L=None):
                 kind = "diag"
             else:
                 return None
-            coeffs = []
-            exc_rows: Dict[int, np.ndarray] = {}
-            for fi, row in enumerate(A.entries):
-                crow = []
-                for fj, e in enumerate(row):
-                    ce = _sys_entry_nine(e)
-                    if ce is None:
-                        return None
-                    c, exc = ce
-                    crow.append(c)
-                    for i, d in exc.items():
-                        exc_rows.setdefault(
-                            i, np.zeros((F, F)))[fi, fj] = d
-                coeffs.append(tuple(crow))
             if A.entries[0][0].grid.dimension != 2:
                 return None
-            exc_t = tuple(sorted(
-                (i, tuple(tuple(float(v) for v in r) for r in dm))
-                for i, dm in exc_rows.items()))
-            return ("sys9", (tuple(coeffs), kind, exc_t))
+            ct = _sys_nine_table(A)
+            if ct is None:
+                return None
+            coeffs, exc_t = ct
+            return ("sys9", (coeffs, kind, exc_t))
         entry = A.entries[0][0]
     if type(entry) is not base.Operator or _nonlinear_of(entry) is not None:
         return None
@@ -751,27 +769,14 @@ class _Lowering:
             return None
         if x[0].ndim != 2:
             return None
-        coeffs = []
-        exc_rows: Dict[int, np.ndarray] = {}
-        for fi, row in enumerate(A.entries):
-            crow = []
-            for fj, entry in enumerate(row):
-                ce = _sys_entry_nine(entry)
-                if ce is None:
-                    return None
-                c, exc = ce
-                crow.append(c)
-                for i, d in exc.items():
-                    exc_rows.setdefault(i, np.zeros((F, F)))[fi, fj] = d
-            coeffs.append(tuple(crow))
-        coeffs = tuple(coeffs)
+        ct = _sys_nine_table(A)      # same construction as _smoother_sig:
+        if ct is None:               # plan signature == runtime parts
+            return None
+        coeffs, exc_t = ct
         kind = "diag" if isinstance(L, system.Diagonal) else "elem"
         minv = self._sys_minv(coeffs, kind)
         if minv is None:
             return None
-        exc_t = tuple(sorted(
-            (i, tuple(tuple(float(v) for v in r) for r in dm))
-            for i, dm in exc_rows.items()))
         exc_minv = self._sys_minv_exc(coeffs, kind, exc_t, minv)
         if exc_t and exc_minv is None:
             return None

@@ -146,26 +146,103 @@ class CycleEvaluator:
 
         return jax.jit(solver)
 
-    _window_overhead_s: Optional[float] = None
+    #: slope-fit timing protocol (round-4 noise hardening, VERDICT r3
+    #: weak #1): repetitions per window size and the chained-solve counts
+    #: per timed window.  The per-solve time is the least-squares SLOPE of
+    #: window-time vs solves-per-window, so the tunnel's fixed
+    #: dispatch+fetch round trip (tens of ms, drifting within a run) lands
+    #: in the intercept and cancels exactly instead of being subtracted
+    #: from a once-per-process calibration.
+    timing_reps = 3
+    timing_window_sizes = (1, 2, 4, 8)
+    #: False skips wall-time measurement entirely (cycle time fixed at
+    #: 1.0 ms, so time_to_convergence degenerates to the iteration
+    #: count) — the prescreen evaluator only needs convergence
+    timing_enabled = True
+    #: soft budget: the largest window is shrunk so one window stays under
+    #: this many seconds (slow/failing structures should not stall a
+    #: generation)
+    timing_window_budget_s = 1.5
 
-    def _window_overhead(self) -> float:
-        """Fixed dispatch+fetch overhead of one timed window (tens of ms
-        through the axon relay, BASELINE.md timing-infrastructure notes):
-        the time to fetch a small, already-computed, never-fetched buffer
-        is a pure host round trip.  Calibrated once per evaluator."""
-        if CycleEvaluator._window_overhead_s is None:
-            f = jax.jit(lambda x: (x + 1.0, x + 2.0))
-            y, spare = f(jnp.zeros((1,), jnp.float32))
-            float(np.asarray(y)[0])          # compile + first fetch
-            samples = []
-            for _ in range(3):
-                y, spare = f(y)              # chained: must execute
-                float(np.asarray(y)[0])      # close the dispatch window
-                t0 = time.perf_counter()
-                float(np.asarray(spare)[0])  # pure fetch round trip
-                samples.append(time.perf_counter() - t0)
-            CycleEvaluator._window_overhead_s = min(samples)
-        return CycleEvaluator._window_overhead_s
+    _chain_op_cached = None
+
+    def _chain_op(self):
+        """Device-side state chaining: scale the previous solution to
+        numerical irrelevance (1e-35: below f32 ulp of b in the residual,
+        so the iteration trace is bit-identical) so (a) no call can be
+        served from an identical-arguments cache and (b) the chain stays
+        on-device — no host fetch between the solves of one window."""
+        if self._chain_op_cached is None:
+            self._chain_op_cached = jax.jit(
+                lambda x, e: jax.tree_util.tree_map(
+                    lambda xi: jnp.nan_to_num(
+                        xi * e.astype(xi.dtype),
+                        nan=0.0, posinf=0.0, neginf=0.0), x))
+        return self._chain_op_cached
+
+    @staticmethod
+    def _sync_scalar(a) -> float:
+        """One-element fetch: the only reliable synchronization point
+        through the axon relay (block_until_ready only acknowledges
+        enqueue — BASELINE.md timing-infrastructure notes)."""
+        return float(np.asarray(jax.device_get(a.ravel()[0])))
+
+    def _solve_window(self, run, om, x, n_solves: int, salt: int):
+        """Time one window of ``n_solves`` chained solves.  Returns
+        (wall seconds, final solution)."""
+        chain = self._chain_op()
+        u0 = chain(x, jnp.float32((salt % 7 + 1) * 1e-35))
+        self._sync_scalar(u0[0])            # drain all prior dispatch
+        t0 = time.perf_counter()
+        out = run(u0, self._b, om)
+        for j in range(1, n_solves):
+            u0 = chain(out[0], jnp.float32(((salt + j) % 7 + 1) * 1e-35))
+            out = run(u0, self._b, om)
+        self._sync_scalar(out[0][0])        # close the window
+        return time.perf_counter() - t0, out[0]
+
+    @staticmethod
+    def _fit_slope(pairs) -> float:
+        """Least-squares slope of (solves-per-window, window seconds)."""
+        S = np.array([p[0] for p in pairs], dtype=float)
+        W = np.array([p[1] for p in pairs], dtype=float)
+        A = np.stack([S, np.ones_like(S)], axis=1)
+        slope, _ = np.linalg.lstsq(A, W, rcond=None)[0]
+        return float(slope)
+
+    def _window_plan(self, probe_s: float):
+        """Window sizes fitting the per-window budget given one solve
+        takes ``probe_s`` (upper bound: includes the fixed round trip)."""
+        sizes = [s for s in self.timing_window_sizes
+                 if s == 1 or s * probe_s <= self.timing_window_budget_s]
+        return tuple(sizes)
+
+    def _timing_series(self, run, om, x, reps=None, sizes=None, salt0=0):
+        """Per-window-size wall-time minima for one compiled solver.
+        Returns ({size: [seconds, ...]}, final solution, next salt)."""
+        per_s: Dict[int, List[float]] = {}
+        salt = salt0
+        for _ in range(reps or self.timing_reps):
+            for S in sizes or self.timing_window_sizes:
+                w, x = self._solve_window(run, om, x, S, salt)
+                salt += S
+                per_s.setdefault(S, []).append(w)
+        return per_s, x, salt
+
+    @classmethod
+    def _slope_from_series(cls, per_s) -> float:
+        """Per-solve seconds from a window series: slope over per-size
+        minima (min = least-contended sample; contention only adds time).
+        Degenerates to the single-size minimum when the plan had to shrink
+        to one size (solve so slow the round trip is negligible)."""
+        pairs = [(S, min(ws)) for S, ws in sorted(per_s.items())]
+        if len(pairs) == 1:
+            return pairs[0][1] / pairs[0][0]
+        slope = cls._fit_slope(pairs)
+        if slope <= 0:          # pathological noise: fall back to the
+            lo, hi = pairs[0], pairs[-1]        # two-point estimate
+            slope = (hi[1] - lo[1]) / max(hi[0] - lo[0], 1)
+        return max(slope, 1e-12)
 
     def _measure_cycle_time(self, entry) -> float:
         """Per-iteration wall time of this structure, measured by re-running
@@ -174,42 +251,90 @@ class CycleEvaluator:
         run; exastencils.py:417-443).  No extra compilation: one XLA
         program per structure is the evolution-loop latency budget.
 
-        Device-timing hardening (BASELINE.md round-2 findings): the fixed
-        dispatch+fetch window overhead is calibrated and subtracted (it
-        would otherwise fold tens of ms into per-iteration fitness,
-        penalizing fast low-iteration structures), and the initial guess
-        chains on the previous sample's solution scaled to numerical
-        irrelevance (1e-35: below f32 ulp of b in the residual, so the
-        iteration trace is bit-identical) so no call can be served from an
-        identical-arguments cache."""
+        Slope-fit protocol (see ``timing_reps``): windows of 1/2/4/8
+        chained solves, per-size minima, least-squares slope = seconds per
+        solve; divided by the (deterministic) iteration count."""
         if entry["cycle_time_ms"] is not None:
             return entry["cycle_time_ms"]
+        if not self.timing_enabled:
+            entry["cycle_time_ms"] = 1.0
+            return 1.0
         lowered = entry["lowered"]
         om = jnp.asarray(lowered.default_omegas, dtype=jnp.float32
                          if self.dtype == np.float32 else None)
         run = entry["solver"]
         out = run(self._u0, self._b, om)
         x = out[0]
-        jax.block_until_ready(jax.device_get(out[1]))   # compile + warm
-        overhead = self._window_overhead()
-        times = []
-        iters = 1
-        for s in range(2):
-            u0 = jax.tree_util.tree_map(
-                lambda xi: jnp.nan_to_num(
-                    xi * jnp.asarray((s + 1) * 1e-35, xi.dtype),
-                    nan=0.0, posinf=0.0, neginf=0.0), x)
-            # force u0 to exist before opening the window (a one-element
-            # fetch synchronizes through the relay; block_until_ready only
-            # acknowledges enqueue)
-            float(np.abs(np.asarray(u0[0].ravel()[0])))
-            t0 = time.perf_counter()
-            out = run(u0, self._b, om)
-            iters = int(jax.device_get(out[1]))
-            times.append(time.perf_counter() - t0 - overhead)
-            x = out[0]
-        entry["cycle_time_ms"] = max(min(times), 1e-9) * 1e3 / max(iters, 1)
+        iters = max(int(jax.device_get(out[1])), 1)    # compile + warm
+        w_probe, x = self._solve_window(run, om, x, 1, 0)
+        sizes = self._window_plan(w_probe)
+        per_s, x, _ = self._timing_series(run, om, x, sizes=sizes, salt0=1)
+        per_s.setdefault(1, []).append(w_probe)
+        slope = self._slope_from_series(per_s)
+        entry["cycle_time_ms"] = slope * 1e3 / iters
         return entry["cycle_time_ms"]
+
+    def measure_interleaved(self, keyed_expressions, reps: int = 5):
+        """Head-to-head measurement of several structures INTERLEAVED in
+        this one process (VERDICT r3 weak #1: 'A beats B' claims must not
+        compare timings from different processes/tunnel epochs).  The
+        timed windows round-robin across the structures within every
+        repetition, so tunnel drift hits all of them equally; each
+        structure gets a per-rep slope fit, reported as median + spread.
+
+        ``keyed_expressions``: list of (key, expression).  Returns a list
+        of dicts with ms_per_iter (median over reps), spread (min/max of
+        the per-rep slopes), iterations, time_to_convergence_ms.
+        """
+        entries = []
+        for key, expression in keyed_expressions:
+            entry = self._get_compiled(key, expression)
+            lowered = entry["lowered"]
+            om = jnp.asarray(lowered.default_omegas,
+                             dtype=jnp.float32
+                             if self.dtype == np.float32 else None)
+            run = entry["solver"]
+            out = run(self._u0, self._b, om)
+            x = out[0]
+            iters = max(int(jax.device_get(out[1])), 1)
+            hist = np.asarray(jax.device_get(out[2]))
+            w_probe, x = self._solve_window(run, om, x, 1, 0)
+            entries.append({"entry": entry, "om": om, "run": run, "x": x,
+                            "iters": iters, "hist": hist,
+                            "sizes": self._window_plan(w_probe),
+                            "rep_slopes": []})
+        salt = 1
+        for rep in range(reps):
+            # one full window series per structure per rep, interleaved at
+            # window granularity across structures
+            per_rep = [dict() for _ in entries]
+            longest = max(len(e["sizes"]) for e in entries)
+            for si in range(longest):
+                for ei, e in enumerate(entries):
+                    if si >= len(e["sizes"]):
+                        continue
+                    S = e["sizes"][si]
+                    w, e["x"] = self._solve_window(e["run"], e["om"],
+                                                   e["x"], S, salt)
+                    salt += S
+                    per_rep[ei].setdefault(S, []).append(w)
+            for ei, e in enumerate(entries):
+                e["rep_slopes"].append(self._slope_from_series(per_rep[ei]))
+        results = []
+        for (key, _), e in zip(keyed_expressions, entries):
+            slopes = np.array(e["rep_slopes"])
+            ms_it = float(np.median(slopes)) * 1e3 / e["iters"]
+            res = self._result_from_history_with_time(
+                e["entry"], e["hist"], e["iters"], ms_it)
+            results.append({
+                "key": key, "ms_per_iter": ms_it,
+                "ms_per_iter_spread": (float(slopes.min()) * 1e3 / e["iters"],
+                                       float(slopes.max()) * 1e3 / e["iters"]),
+                "iterations": res.iterations,
+                "convergence_factor": res.convergence_factor,
+                "time_to_convergence_ms": res.time_to_convergence_ms,
+            })
+        return results
 
 
     # -- single evaluation ---------------------------------------------------
@@ -226,7 +351,13 @@ class CycleEvaluator:
         return self._result_from_history(entry, hist, iters)
 
     def _result_from_history(self, entry, hist, iters) -> EvaluationResult:
-        cycle_time = self._measure_cycle_time(entry)
+        return self._result_from_history_with_time(
+            entry, hist, iters, None)
+
+    def _result_from_history_with_time(self, entry, hist, iters,
+                                       cycle_time) -> EvaluationResult:
+        if cycle_time is None:
+            cycle_time = self._measure_cycle_time(entry)
         r0 = hist[0]
         converged = (r0 > 0 and np.isfinite(hist[iters])
                      and hist[iters] <= self.measurement_reduction * r0

@@ -245,11 +245,16 @@ def add_level(pset: PrimitiveSet, terminals: Terminals, types: Types,
                   [types.C_h, types.C_guard_h], f"residual_{depth}")
 
     if not scalar_equation:
+        # under coupled_fields the production smooths collectively (the
+        # (re, im) pair is one logical field); register it under a
+        # DISTINCT name so saved grammar strings/checkpoints can never be
+        # silently reinterpreted when the flag changes (round-3 advisor)
         add_primitive(decoupled_jacobi,
                       [types.RelaxationFactorIndex, types.Partitioning],
                       [types.C_h, types.C_guard_h],
                       [types.S_h, types.S_guard_h],
-                      f"decoupled_jacobi_{depth}")
+                      (f"coupled_point_jacobi_{depth}" if coupled_fields
+                       else f"decoupled_jacobi_{depth}"))
     if not FAS:
         add_primitive(collective_jacobi,
                       [types.RelaxationFactorIndex, types.Partitioning],

@@ -112,8 +112,15 @@ class Optimizer:
                  robustness_problems: Optional[List] = None,
                  robustness_factories: Optional[List[Callable]] = None,
                  rng: Optional[random.Random] = None,
-                 comm: Optional[Communicator] = None):
+                 comm: Optional[Communicator] = None,
+                 prescreen=None):
         self.problem = problem
+        #: optional SmallGridPrescreen (optimization/prescreen.py):
+        #: offspring whose measured small-grid convergence is hopeless get
+        #: an estimated (rho, infinity) fitness and never reach the
+        #: expensive measured-evaluation compile queue (the reference's
+        #: cheap-estimate dual path, reference program.py:319-384)
+        self.prescreen = prescreen
         #: host-level collectives for population-parallel evaluation;
         #: all ranks must construct the Optimizer with the same rng seed
         self.comm = comm or NullCommunicator()
@@ -200,8 +207,23 @@ class Optimizer:
         if self.model_based_estimation:
             local_values = [self._estimate_objectives(ind) for ind in local]
         else:
-            results = self.evaluator.evaluate_population(local, self._pset)
-            local_values = [self._fitness_from_result(r) for r in results]
+            verdicts = [None] * len(local)
+            if self.prescreen is not None and \
+                    not getattr(self.evaluator, "chain", None):
+                try:
+                    verdicts = self.prescreen.screen(local, self._pset)
+                except Exception as e:     # never let the estimate path
+                    print(f"prescreen failed ({e}); measuring everything",
+                          flush=True)      # kill the real one
+                    verdicts = [None] * len(local)
+            survivors = [ind for ind, v in zip(local, verdicts) if v is None]
+            results = iter(
+                self.evaluator.evaluate_population(survivors, self._pset))
+            local_values = [
+                self._fitness_from_result(next(results)) if v is None
+                else self._fitness_from_result(
+                    EvaluationResult(self.infinity, v, self.infinity))
+                for v in verdicts]
             local_values = self._apply_robustness(local, local_values)
         values_list = self.comm.allgather_shards(local_values)
         for ind, values in zip(pending, values_list):

@@ -1,12 +1,18 @@
-"""A small evolution run with fitness MEASURED ON THE TPU — the
-reference's entire point is measuring candidates on the target machine
-(reference code_generation/exastencils.py:485-537); this demonstrates the
-loop closing on hardware.
+"""Evolution with fitness MEASURED ON THE TPU — the reference's entire
+point is measuring candidates on the target machine (reference
+code_generation/exastencils.py:485-537).
 
-mu = lambda = 8, a few generations, 2D Poisson at 1023^2; per-generation
-wall time and compile-amortization stats are printed, and the evolved
-best is compared on-device against the reference V(2,1) baseline
-(2D_FD_Poisson_fromL2.exa3 solver block).
+Round-4 campaign hardening (VERDICT r3 next-step #1):
+* offspring are pre-screened on a small CPU instance of the problem
+  (optimization/prescreen.py) so hopeless candidates never reach the
+  device compile queue (the reference's cheap-estimate dual path,
+  reference optimization/program.py:319-384);
+* per-structure timing uses the slope-fit protocol (windows of 1/2/4/8
+  chained solves; the tunnel's drifting fixed round trip cancels in the
+  intercept — evaluation/evaluator.py);
+* the final head-to-head (evolved champion vs reference V(2,1)) is
+  measured INTERLEAVED in one process via
+  ``CycleEvaluator.measure_interleaved``.
 
     PYTHONPATH=/root/.axon_site:/root/repo python scripts/evolve_on_device.py
 """
@@ -20,6 +26,8 @@ import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
+CKPT_DIR = "/root/repo/.evolve_ckpt"
+
 
 def main():
     import argparse
@@ -28,10 +36,16 @@ def main():
     ap.add_argument("--resume", action="store_true",
                     help="continue from the checkpoint of a previous run "
                          "(fitness cache + rng + population restored)")
+    ap.add_argument("--no-prescreen", action="store_true")
+    ap.add_argument("--mu", type=int, default=8)
+    ap.add_argument("--ckpt-dir", default=CKPT_DIR)
+    ap.add_argument("--skip-headtohead", action="store_true",
+                    help="just advance the campaign; the head-to-head is "
+                         "measured separately in a fresh process "
+                         "(scripts/head_to_head.py)")
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     print(f"[evolve] device: {jax.devices()[0]}", file=sys.stderr,
@@ -39,9 +53,9 @@ def main():
 
     from evostencils_tpu.problems.poisson import poisson_2d
     from evostencils_tpu.optimization.program import Optimizer
+    from evostencils_tpu.optimization.prescreen import SmallGridPrescreen
     from evostencils_tpu.evaluation.evaluator import CycleEvaluator
     from evostencils_tpu.compiler.cycles import v_cycle
-    from evostencils_tpu.compiler.lower import lower_cycle
     from evostencils_tpu.ir import partitioning as part
     from evostencils_tpu.grammar import gp
     from evostencils_tpu.ir import transformations
@@ -50,13 +64,19 @@ def main():
     problem = poisson_2d(max_level=max_level, min_level=min_level)
     problem.dtype = np.float32
     evaluator = CycleEvaluator(problem)
+    prescreen = None
+    if not args.no_prescreen:
+        # same 5-level hierarchy at 127^2 on the host CPU
+        small = poisson_2d(max_level=7, min_level=2)
+        prescreen = SmallGridPrescreen(small, rho_cap=0.9)
     opt = Optimizer(problem, evaluator=evaluator, rng=random.Random(42),
-                    checkpoint_directory_path="/tmp/evolve_device_ckpt")
+                    prescreen=prescreen,
+                    checkpoint_directory_path=args.ckpt_dir)
 
     gens = args.generations
     t_start = time.perf_counter()
     result = opt.evolutionary_optimization(
-        mu_=8, lambda_=8, population_initialization_factor=2,
+        mu_=args.mu, lambda_=args.mu, population_initialization_factor=2,
         generations=gens, continue_from_checkpoint=args.resume,
         verbose=True)
     wall = time.perf_counter() - t_start
@@ -66,36 +86,39 @@ def main():
           f"{evaluator.compilations} structures compiled "
           f"({wall / max(evaluator.compilations, 1):.1f}s/structure "
           f"amortized)", flush=True)
+    if prescreen is not None:
+        print(f"[evolve] prescreen: {prescreen.rejected}/"
+              f"{prescreen.screened} offspring rejected before the "
+              f"device compile queue", flush=True)
     print(f"[evolve] best fitness (rho, ms/it): {vals}", flush=True)
     print(f"[evolve] best grammar: {str(best)[:400]}", flush=True)
+    if args.skip_headtohead:
+        return
 
-    # --- reference baseline, measured the same way ------------------------
+    # --- head-to-head: reference baseline vs evolved best, INTERLEAVED ---
     ref_cycle = v_cycle(problem.level_contexts, problem.rhs_entity,
                         pre_smoothing=2, post_smoothing=1, omega=1.15,
                         partitioning=part.RedBlack,
                         coarse_operator=problem.coarsest_operator)
     transformations.assign_cycle_ids(ref_cycle)
-    ref = evaluator.evaluate_expression(ref_cycle, key="__reference__")
-    print(f"[evolve] reference V(2,1) RB 1.15: "
-          f"t_conv={ref.time_to_convergence_ms:.3f} ms "
-          f"rho={ref.convergence_factor:.4f} it={ref.iterations}",
-          flush=True)
-
-    # evolved best re-measured (evaluate_expression path, same protocol)
     state = gp.compile_tree(best, opt._pset)
     expr = state[0]
     transformations.assign_cycle_ids(expr)
-    ev = evaluator.evaluate_expression(expr, key=str(best))
-    print(f"[evolve] evolved best:              "
-          f"t_conv={ev.time_to_convergence_ms:.3f} ms "
-          f"rho={ev.convergence_factor:.4f} it={ev.iterations}",
-          flush=True)
-    verdict = ("BEATS" if ev.time_to_convergence_ms
-               < ref.time_to_convergence_ms else "does NOT beat")
+    rows = evaluator.measure_interleaved(
+        [("reference V(2,1) RB 1.15", ref_cycle), ("evolved best", expr)],
+        reps=5)
+    for r in rows:
+        lo, hi = r["ms_per_iter_spread"]
+        print(f"[evolve] {r['key']}: t_conv={r['time_to_convergence_ms']:.3f}"
+              f" ms  rho={r['convergence_factor']:.4f} it={r['iterations']}"
+              f"  ms/it={r['ms_per_iter']:.4f} [{lo:.4f},{hi:.4f}]",
+              flush=True)
+    ref_t = rows[0]["time_to_convergence_ms"]
+    ev_t = rows[1]["time_to_convergence_ms"]
+    verdict = "BEATS" if ev_t < ref_t else "does NOT beat"
     print(f"[evolve] evolved best {verdict} the reference baseline "
-          f"on-device ({ev.time_to_convergence_ms:.3f} vs "
-          f"{ref.time_to_convergence_ms:.3f} ms to convergence)",
-          flush=True)
+          f"on-device ({ev_t:.3f} vs {ref_t:.3f} ms to convergence, "
+          f"interleaved in one process)", flush=True)
 
 
 if __name__ == "__main__":

@@ -11,6 +11,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+# the sibling-module import below needs scripts/ itself on the path when
+# run via ``python -m`` or from another cwd (round-3 advisor)
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[0]))
 
 from tpu_ab_var_sys import bench_cycle  # noqa: E402
 

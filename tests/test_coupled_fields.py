@@ -18,6 +18,10 @@ from evostencils_tpu.problems.helmholtz import helmholtz_2d_split
 
 GRAMMAR = ("decoupled_jacobi_0(rf_20,red_black,"
            "residual_0__S_guard_0(u_and_f))")
+# under coupled_fields the production is registered under a distinct name
+# so stale checkpoints cannot silently reinterpret (round-3 advisor)
+GRAMMAR_COUPLED = GRAMMAR.replace("decoupled_jacobi_0",
+                                  "coupled_point_jacobi_0")
 
 
 def _inverse_operand_types(expr):
@@ -49,12 +53,19 @@ def test_problem_flag_set():
 
 def test_decoupled_production_is_collective_under_coupled_fields():
     _, pset_coupled, pset_plain = _psets()
-    e_c = gp.compile_tree(gp.parse_tree(GRAMMAR, pset_coupled),
+    e_c = gp.compile_tree(gp.parse_tree(GRAMMAR_COUPLED, pset_coupled),
                           pset_coupled)[0]
     e_p = gp.compile_tree(gp.parse_tree(GRAMMAR, pset_plain),
                           pset_plain)[0]
     assert _inverse_operand_types(e_c) == [system.ElementwiseDiagonal]
     assert _inverse_operand_types(e_p) == [system.Diagonal]
+    # the old name must NOT parse against the coupled grammar (and vice
+    # versa): stale checkpoints fail loudly instead of silently remapping
+    import pytest
+    with pytest.raises((KeyError, ValueError, SyntaxError)):
+        gp.parse_tree(GRAMMAR, pset_coupled)
+    with pytest.raises((KeyError, ValueError, SyntaxError)):
+        gp.parse_tree(GRAMMAR_COUPLED, pset_plain)
 
 
 def test_coupled_decoupled_equals_collective_step():
@@ -64,7 +75,7 @@ def test_coupled_decoupled_equals_collective_step():
                                  "collective_jacobi_0")
     from evostencils_tpu.compiler.lower import lower_cycle
     outs = []
-    for s in (GRAMMAR, collective):
+    for s in (GRAMMAR_COUPLED, collective):
         expr = gp.compile_tree(gp.parse_tree(s, pset_coupled),
                                pset_coupled)[0]
         transformations.assign_cycle_ids(expr)
