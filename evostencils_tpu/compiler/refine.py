@@ -86,6 +86,35 @@ def apply_constant_df(stencil_df, radius, u_df, shape):
     return acc
 
 
+def scalar_residual_df_fn(stencil: Stencil, nl=None):
+    """Jitted ``(u_hi, u_lo, b) -> (r_hi, r_lo)``: the TRUE residual
+    ``b - A u`` of a scalar constant-stencil operator (optionally plus the
+    FAS exp-nonlinearity ``gamma * exp(u) * u``) in compensated df64
+    arithmetic.  The measurement backbone of deep-convergence protocols on
+    the f32-only chip (reference residual parsing:
+    exastencils_FAS.py:370-394)."""
+    st_df = _df_coefficients(stencil)
+    radius = stencil.max_offsets
+
+    @jax.jit
+    def residual_df(uh, ul, b):
+        shape = b.shape
+        au = apply_constant_df(st_df, radius, (uh, ul), shape)
+        if nl is not None:
+            # g(u) = gamma * exp(u) * u entirely in df64 — the f32 exp's
+            # ~1 ulp error (6e-8 relative) would floor the residual at
+            # ~1e-6 absolute, above the 1e-10 target (df64.df_exp: range
+            # reduction + df Taylor, ~1e-15 relative)
+            e_df = df64.df_exp((uh, ul))
+            gdf = df64.df_mul(df64.df_mul(e_df, (uh, ul)),
+                              _df_scalar(nl.gamma, uh))
+            au = df64.df_add(au, gdf)
+        r = df64.df_sub(df64.df_from(b), au)
+        return r[0], r[1]
+
+    return residual_df
+
+
 @dataclass
 class RefineResult:
     solution_hi: object
@@ -158,22 +187,7 @@ def make_refined_solver(lowered: LoweredCycle, *,
                 "nonlinear refinement requires correction_lowered (a cycle "
                 "for the SHIFTED linear part, see docstring)")
     g = nl.nonlinear_term if nl is not None else None
-
-    @jax.jit
-    def residual_df(uh, ul, b):
-        shape = b.shape
-        au = apply_constant_df(st_df, radius, (uh, ul), shape)
-        if g is not None:
-            # g(u) = gamma * exp(u) * u entirely in df64 — the f32 exp's
-            # ~1 ulp error (6e-8 relative) would floor the residual at
-            # ~1e-6 absolute, above the 1e-10 target (df64.df_exp: range
-            # reduction + df Taylor, ~1e-15 relative)
-            e_df = df64.df_exp((uh, ul))
-            gdf = df64.df_mul(df64.df_mul(e_df, (uh, ul)),
-                              _df_scalar(nl.gamma, uh))
-            au = df64.df_add(au, gdf)
-        r = df64.df_sub(df64.df_from(b), au)
-        return r[0], r[1]
+    residual_df = scalar_residual_df_fn(st, nl)
 
     if g is None:
         @jax.jit

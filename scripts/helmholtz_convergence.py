@@ -70,11 +70,60 @@ def run_case(problem, build, tag, maxiter=5000):
     return k, rel
 
 
+def run_case_df64(problem, build, tag, maxiter=5000, segment=40):
+    """The f32 split solve under df64 reliable residual updates
+    (compiler/refine_split.py): x accumulates as a double-float pair and
+    the recurrence residual is periodically replaced by the TRUE df64
+    residual — the device-executable form of the reference's f64 1e-7
+    protocol (VERDICT r3 next-step #2)."""
+    import jax
+    import jax.numpy as jnp
+    from evostencils_tpu.compiler.cycles import v_cycle
+    from evostencils_tpu.compiler.lower import lower_cycle, operator_applier
+    from evostencils_tpu.compiler.refine_split import (
+        split_system_residual_df, reliable_bicgstab_split)
+    from evostencils_tpu.ir import partitioning as part
+    from evostencils_tpu.ir import smoother
+
+    cyc = v_cycle(problem.level_contexts, problem.rhs_entity,
+                  pre_smoothing=2, post_smoothing=1, omega=0.6,
+                  partitioning=part.RedBlack,
+                  smoother_factory=smoother.generate_collective_jacobi,
+                  coarse_operator=problem.coarsest_operator)
+    low = lower_cycle(cyc, problem.approximation, problem.rhs_entity)
+    om = jnp.asarray(low.default_omegas, jnp.float32)
+    b = build()
+    mv = operator_applier(problem.outer_solver.operator)
+    residual_df = split_system_residual_df(problem.outer_solver.operator)
+
+    def precond(fields):
+        zero = tuple(jnp.zeros_like(f) for f in fields)
+        return low.step(zero, fields, om)
+
+    t0 = time.perf_counter()
+    x_hi, x_lo, k, hist = reliable_bicgstab_split(
+        mv, precond, residual_df, b, tol=1e-7, maxiter=maxiter,
+        segment=segment)
+    wall = time.perf_counter() - t0
+    rel = hist[-1]
+    rho = rel ** (1.0 / max(k, 1))
+    conv = "ok" if rel <= 1.1e-7 and k < maxiter else "NOT CONVERGED"
+    print(f"[helmholtz] {tag} (df64 reliable): iters={k} "
+          f"true_rel_res={rel:.2e} rho={rho:.3f} wall={wall:.1f}s {conv}",
+          flush=True)
+    return k, rel
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--device", action="store_true",
                         help="run the split-complex cases on the default "
                              "(TPU) backend instead of forcing CPU")
+    parser.add_argument("--df64", action="store_true",
+                        help="solve the split cases with df64 reliable "
+                             "residual updates to the TRUE 1e-7 target "
+                             "(f32 arithmetic; device-executable)")
+    parser.add_argument("--ks", type=float, nargs="*", default=None)
     parser.add_argument("--max-level", type=int, default=7)
     parser.add_argument("--min-level", type=int, default=3)
     args = parser.parse_args()
@@ -98,18 +147,25 @@ def main():
     from evostencils_tpu.problems.helmholtz import (helmholtz_2d,
                                                     helmholtz_2d_split)
 
-    for k in (80.0, 160.0, 320.0):
-        if not args.device:
+    for k in (args.ks or (80.0, 160.0, 320.0)):
+        if not args.device and not args.df64:
             pc = helmholtz_2d(max_level=args.max_level,
                               min_level=args.min_level, k=k)
             run_case(pc, pc.build_rhs, f"complex  k={k:.0f} "
                      f"levels {args.min_level}->{args.max_level}")
         ps = helmholtz_2d_split(max_level=args.max_level,
                                 min_level=args.min_level, k=k)
-        dt = np.float32 if args.device else np.float64
-        run_case(ps, lambda p=ps: p.rhs_builder(dt),
-                 f"split    k={k:.0f} levels "
-                 f"{args.min_level}->{args.max_level}")
+        if args.df64:
+            ps.dtype = np.float32
+            run_case_df64(ps, lambda p=ps: p.rhs_builder(np.float32),
+                          f"split    k={k:.0f} levels "
+                          f"{args.min_level}->{args.max_level}",
+                          maxiter=10000)
+        else:
+            dt = np.float32 if args.device else np.float64
+            run_case(ps, lambda p=ps: p.rhs_builder(dt),
+                     f"split    k={k:.0f} levels "
+                     f"{args.min_level}->{args.max_level}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,138 @@
+"""Quantified ALU-roofline proof for the elasticity row (VERDICT r3
+next-step #4): is 1.777 ms/cycle at 2047^2 the VPU ceiling?
+
+1. Measures the achievable f32 VPU flop rate with a chained-FMA Pallas
+   kernel on a VMEM-resident block (pure ALU, no HBM traffic in the
+   timed chain).
+2. Counts the coupled sys9 leg kernels' per-element VPU ops from the
+   actual elasticity coefficient tables (compiler/lower._sys_nine_table:
+   nonzero coefficients only — the kernels skip zero entries).
+3. Compares measured cycle time against BOTH floors: HBM bytes/BW and
+   FLOPs/VPU-peak.  If the measured time sits at the larger of the two,
+   the row is at its roofline and the 'incremental residual' lever is the
+   only remaining reduction of the op COUNT itself.
+
+    PYTHONPATH=/root/.axon_site:/root/repo python scripts/vpu_roofline_elasticity.py
+"""
+
+import functools
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def measure_vpu_peak(interpret=False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K = 512            # chained FMAs per element per kernel pass
+    shape = (256, 512)
+
+    def kernel(x_ref, o_ref):
+        y = x_ref[:]
+        a = jnp.float32(1.0000001)
+        b = jnp.float32(1e-7)
+        for _ in range(K):
+            y = y * a + b
+        o_ref[:] = y
+
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+            interpret=interpret,
+        )(x)
+
+    x = jnp.ones(shape, jnp.float32)
+    y = run(x)
+    float(np.asarray(jax.device_get(y.ravel()[0])))
+    # slope-fit over chained passes (dispatch round trip cancels)
+    samples = {}
+    for S in (4, 8, 16, 32):
+        best = 1e9
+        for _ in range(3):
+            float(np.asarray(jax.device_get(y.ravel()[0])))
+            t0 = time.perf_counter()
+            z = y
+            for _ in range(S):
+                z = run(z)
+            float(np.asarray(jax.device_get(z.ravel()[0])))
+            best = min(best, time.perf_counter() - t0)
+        samples[S] = best
+    Ss = np.array(sorted(samples))
+    Ws = np.array([samples[s] for s in Ss])
+    A = np.stack([Ss, np.ones_like(Ss)], 1).astype(float)
+    slope, _ = np.linalg.lstsq(A, Ws, rcond=None)[0]
+    flops = 2.0 * K * shape[0] * shape[1]
+    rate = flops / slope
+    print(f"[vpu] chained-FMA kernel: {slope * 1e6:.1f} us/pass, "
+          f"{rate / 1e12:.3f} Tflop/s f32 VPU achievable", flush=True)
+    return rate
+
+
+def count_leg_ops():
+    """Per-element VPU op counts of the sys9 fused legs from the actual
+    elasticity coefficients."""
+    from evostencils_tpu.problems.elasticity import linear_elasticity_2d
+    from evostencils_tpu.compiler.lower import _sys_nine_table
+
+    p = linear_elasticity_2d(max_level=6, min_level=2)
+    A = p.level_contexts[0].operator
+    coeffs, exc_t = _sys_nine_table(A)
+    F = len(coeffs)
+    nnz = sum(1 for fi in range(F) for fj in range(F)
+              for c in coeffs[fi][fj] if c != 0.0)
+    # residual per element: nnz FMAs + F subs  (shifted operands are free
+    # layout ops only for aligned rows; count shifts as 1 op per distinct
+    # shifted operand use to be safe)
+    res_ops = nnz * 2 + F          # FMA=2 flops, + F subtracts
+    # minv apply: F*F FMAs + omega scale + masked add
+    minv_nnz = F * F
+    upd_ops = minv_nnz * 2 + F * 2
+    half_sweep = res_ops + upd_ops
+    full_sweep = 2 * half_sweep          # red + black, full-window compute
+    print(f"[ops] elasticity sys9: nnz={nnz} -> residual {res_ops} "
+          f"flops/elem, half-sweep {half_sweep}, full RB sweep "
+          f"{full_sweep} flops/elem (computed at BOTH parities)",
+          flush=True)
+    # V(2,1) legs: down = 2 sweeps + residual + restrict(~12),
+    # up = prolong(~8) + correct(2) + 1 sweep; plus window halo overhead
+    down = 2 * full_sweep + res_ops + 12
+    up = 8 + 2 + full_sweep
+    print(f"[ops] down-leg ~{down} flops/elem, up-leg ~{up} flops/elem",
+          flush=True)
+    return down + up
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    print(f"[vpu] device: {jax.devices()[0]}", file=sys.stderr, flush=True)
+    rate = measure_vpu_peak()
+    leg_flops = count_leg_ops()
+    n = 2047
+    elems = n * n
+    fields = 2
+    alu_floor = leg_flops * elems / rate
+    # HBM floor: per full cycle the fine level streams u,b (2 fields) in
+    # down-leg (read u+b, write u+rc), up-leg (read u+b+e, write u):
+    # ~10 fine-grid arrays + 4/3 level series, f32
+    hbm_bytes = 10 * fields / 2 * elems * 4 * 4 / 3
+    hbm_floor = hbm_bytes / 819e9
+    print(f"[roofline] 2047^2 elasticity V(2,1): ALU floor "
+          f"{alu_floor * 1e3:.3f} ms, HBM floor {hbm_floor * 1e3:.3f} ms "
+          f"(measured round-3: 1.777 ms)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
