@@ -47,6 +47,9 @@ def main():
     problem = poisson_3d(max_level=args.max_level, min_level=args.min_level)
     problem.dtype = np.float32
     evaluator = CycleEvaluator(problem)
+    # compiles run in the remote compile service; local threads only wait,
+    # so a wider pool overlaps more of the per-structure latency
+    evaluator.compile_workers = 8
     pset, _ = generate_primitive_set(
         problem.approximation, problem.rhs_entity, problem.level_contexts,
         problem.coarsest_operator)
