@@ -374,6 +374,17 @@ def _smoother_sig(A, L=None):
         entry = A.entries[0][0]
     if type(entry) is not base.Operator or _nonlinear_of(entry) is not None:
         return None
+    if entry.grid.dimension == 3:
+        if _stencil_field_of(entry) is not None:
+            return None
+        st = entry.generate_stencil()
+        if not isinstance(st, constant.Stencil):
+            return None
+        from ..ops.pallas import rbgs3d
+        vals7 = rbgs3d.seven_point_values(st)
+        if vals7 is None or vals7[0] == 0.0:
+            return None
+        return ("const7", vals7)
     if entry.grid.dimension != 2:
         return None
     sf = _stencil_field_of(entry)
@@ -971,6 +982,10 @@ class _Lowering:
             return self._super_results[key]
         from ..ops.pallas import transfer as ptransfer
         from ..config import pallas_interpret
+        if plan["sig"][0] == "const7":
+            result = self._run_super_fusion_3d(plan)
+            self._super_results[key] = result
+            return result
         taps = self._transfer_three_tap(plan["restriction"])
         if taps is None:
             self._super_results[key] = None
@@ -1010,6 +1025,61 @@ class _Lowering:
             result = ((u_s,), (_col_restrict(rr, taps[1], u.shape[1]),))
         self._super_results[key] = result
         return result
+
+    def _run_super_fusion_3d(self, plan):
+        """const7 down-leg: 2 RB sweeps + residual + full restriction as
+        ONE wavefront pass (ops/pallas/wavefront3d) — u and b read once,
+        no halo recompute (the multi-pass leg3d path's 1.7x read
+        amplification and per-sweep passes collapse)."""
+        from ..ops.pallas import wavefront3d
+        from ..config import pallas_interpret
+        if len(plan["sweeps"]) != 2 or \
+                plan["partitioning"] is not part.RedBlack:
+            return None
+        taps = self._axis_taps_3d(plan["restriction"])
+        if taps is None:
+            return None
+        x = self.eval_function(plan["base"])
+        if len(x) != 1 or not wavefront3d.supports(x[0]):
+            return None
+        b = self.eval_function(plan["res"].rhs)
+        u = x[0]
+        vals = plan["sig"][1]
+        omegas = [self.omegas[c.global_id]
+                  for c in reversed(plan["sweeps"])]
+        u_s, rc = wavefront3d.downleg_wavefront_3d(
+            u, b[0], (omegas[0], omegas[1]), vals, 1.0 / vals[0], taps,
+            interpret=pallas_interpret())
+        return ((u_s,), (rc,))
+
+    def _run_post_fusion_3d(self, plan):
+        """const7 up-leg: prolong + correct + 1 RB post-sweep as ONE
+        wavefront pass (ops/pallas/wavefront3d)."""
+        from ..ops.pallas import wavefront3d
+        from ..config import pallas_interpret
+        if len(plan["sweeps"]) != 1 or \
+                plan["partitioning"] is not part.RedBlack:
+            return None
+        cgc = plan["cgc"]
+        corr = cgc.correction
+        taps = self._axis_taps_3d(corr.operand1)
+        if taps is None:
+            return None
+        x = self.eval_function(cgc.approximation)
+        if len(x) != 1 or not wavefront3d.supports(x[0]):
+            return None
+        u = x[0]
+        e = self.eval_function(corr.operand2)
+        if len(e) != 1 or \
+                e[0].shape != tuple((s - 1) // 2 for s in u.shape):
+            return None
+        b = self.eval_function(plan["rhs"])
+        vals = plan["sig"][1]
+        om_c = self.omegas[cgc.global_id]
+        om_s = self.omegas[plan["sweeps"][0].global_id]
+        return (wavefront3d.upleg_wavefront_3d(
+            u, e[0].astype(u.dtype), b[0], om_c, om_s, vals,
+            1.0 / vals[0], taps, interpret=pallas_interpret()),)
 
     def _var_stack_of(self, sf, dtype):
         """Memoized (5, n, m) coefficient stack of a StencilField."""
@@ -1098,6 +1168,8 @@ class _Lowering:
         runtime gates reject the plan."""
         from ..ops.pallas import transfer as ptransfer
         from ..config import pallas_interpret
+        if plan["sig"][0] == "const7":
+            return self._run_post_fusion_3d(plan)
         cgc = plan["cgc"]
         corr = cgc.correction
         taps = self._transfer_three_tap(corr.operand1)

@@ -1,0 +1,384 @@
+"""Wavefront (temporally-blocked) 3D down-leg: 2 red-black sweeps +
+residual + full restriction in ONE pass over the fine grid.
+
+The two-axis-blocked leg kernels (leg3d.py) run each sweep as its own
+pass, so the V(2,1) down-leg at 255^3 streams u and b three times with
+~1.7x halo read amplification — the 4x-off-HBM-floor gap named in
+BASELINE.md rounds 2-3.  Multi-sweep super-fusion with spatial halos
+alone needs 6-plane halos that do not fit VMEM; this kernel instead
+pipelines a PLANE WAVEFRONT along axis 0 (classic temporal blocking):
+
+* the grid iterates axis-0 blocks of B=4 planes SEQUENTIALLY on one
+  core, full (n1, n2) plane extent (no axis-1/2 blocking: a 255^2 f32
+  plane is 255 KB — four-plane slabs fit VMEM comfortably);
+* five pipeline stages (4 half-sweeps + residual) each lag their
+  producer by one plane; per step each stage computes exactly B planes,
+  consuming the producer's fresh planes plus a 2-plane VMEM scratch tail
+  carried from the previous step — every plane of every stage is
+  computed EXACTLY ONCE (no halo recompute at all);
+* u and b are read once, the smoothed u and the restricted residual are
+  written once: HBM traffic = 2 reads + 1 + 1/8 writes of the fine grid,
+  the leg's true speed-of-light.
+
+Stage plane ranges at input block j (planes [4j, 4j+4)):
+  sweep-1 red   [4j-1, 4j+3)        sweep-1 black [4j-2, 4j+2)
+  sweep-2 red   [4j-3, 4j+1)        sweep-2 black [4j-4, 4j)   = u block j-1
+  residual      [4j-5, 4j-1)        restriction: coarse block j-2
+The outputs are written with lagging index maps; the drain steps keep
+the last real block in the (revisited) output buffer via pl.when-guarded
+stores.
+
+Reference counterpart: the generated C++ solver's loop nest per sweep
+(ExaStencils treats 3D like 2D); this fusion has no reference
+equivalent — it is the TPU-native answer to its OpenMP loop fusion.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .transfer import (_lane_restrict_block, restrict_lane_matrix,
+                       _lane_prolong_block, prolong_lane_matrices)
+
+_B = 4          # planes per step (the stage lags align with B=4 blocks)
+
+
+def _inplane_shifts(v):
+    """Zero-edge (Dirichlet) axis-1/axis-2 neighbor views of (P, n1, n2)."""
+    P, n1, n2 = v.shape
+    z1 = jnp.zeros((P, 1, n2), v.dtype)
+    z2 = jnp.zeros((P, n1, 1), v.dtype)
+    ym = jnp.concatenate([z1, v[:, :-1]], axis=1)
+    yp = jnp.concatenate([v[:, 1:], z1], axis=1)
+    zm = jnp.concatenate([z2, v[:, :, :-1]], axis=2)
+    zp = jnp.concatenate([v[:, :, 1:], z2], axis=2)
+    return ym, yp, zm, zp
+
+
+def _wavefront_kernel(u_ref, b_ref, om_ref, rm_ref, u_out_ref, rc_ref,
+                      t_u0, t_1r, t_1b, t_2r, t_2b, t_b, t_r, *,
+                      c, dinv, taps0, taps1, n0, n1, n2, nb, nbc_blk):
+    i = pl.program_id(0)
+    B = _B
+    cc, cxm, cxp, cym, cyp, czm, czp = c
+    # premultiplied form — bitwise-identical update order to the
+    # two-axis leg kernels (leg3d._rb2ax_kernel)
+    dco = (cxm * dinv, cxp * dinv, cym * dinv, cyp * dinv,
+           czm * dinv, czp * dinv)
+
+    @pl.when(i == 0)
+    def _init():
+        for t in (t_u0, t_1r, t_1b, t_2r, t_2b, t_r):
+            t[:] = jnp.zeros_like(t)
+        t_b[:] = jnp.zeros_like(t_b)
+
+    jb = i * B      # first plane of this step's input block (clamped map)
+
+    def plane_mask(base, P):
+        g0 = jax.lax.broadcasted_iota(jnp.int32, (P, n1, n2), 0) + base
+        return g0, (g0 >= 0) & (g0 < n0)
+
+    g0_in, valid_in = plane_mask(jb, B)
+    u0_blk = jnp.where(valid_in, u_ref[:].astype(jnp.float32), 0.0)
+    b_blk = jnp.where(valid_in, b_ref[:].astype(jnp.float32), 0.0)
+
+    # b availability window: planes [jb-6, jb+4)
+    b_avail = jnp.concatenate([t_b[:], b_blk], axis=0)
+
+    def halfsweep(win, b_win, base, parity, omega):
+        """win: (B+2, n1, n2) planes [base-1, base+B+1); returns the
+        updated interior planes [base, base+B)."""
+        u = win[1:-1]
+        up = win[:-2]
+        dn = win[2:]
+        ym, yp, zm, zp = _inplane_shifts(u)
+        off = (dco[0] * up + dco[1] * dn + dco[2] * ym + dco[3] * yp
+               + dco[4] * zm + dco[5] * zp)
+        upd = omega * (dinv * b_win - u - off)
+        g0 = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) + base
+        g1 = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
+        g2 = jax.lax.broadcasted_iota(jnp.int32, u.shape, 2)
+        valid = (g0 >= 0) & (g0 < n0)
+        checker = ((g0 + g1 + g2) % 2) == 1     # red: even node parity
+        mask = (checker if parity == 0 else ~checker) & valid
+        return jnp.where(mask, u + upd, u) * valid.astype(u.dtype)
+
+    om1 = om_ref[0, 0]
+    om2 = om_ref[0, 1]
+    w0 = jnp.concatenate([t_u0[:], u0_blk], axis=0)       # [jb-2, jb+4)
+    s1r = halfsweep(w0, b_avail[5:9], jb - 1, 0, om1)     # [jb-1, jb+3)
+    w1 = jnp.concatenate([t_1r[:], s1r], axis=0)          # [jb-3, jb+3)
+    s1b = halfsweep(w1, b_avail[4:8], jb - 2, 1, om1)     # [jb-2, jb+2)
+    w2 = jnp.concatenate([t_1b[:], s1b], axis=0)          # [jb-4, jb+2)
+    s2r = halfsweep(w2, b_avail[3:7], jb - 3, 0, om2)     # [jb-3, jb+1)
+    w3 = jnp.concatenate([t_2r[:], s2r], axis=0)          # [jb-5, jb+1)
+    s2b = halfsweep(w3, b_avail[2:6], jb - 4, 1, om2)     # [jb-4, jb)
+    w4 = jnp.concatenate([t_2b[:], s2b], axis=0)          # [jb-6, jb)
+
+    # residual planes [jb-5, jb-1)
+    u_c = w4[1:-1]
+    up = w4[:-2]
+    dn = w4[2:]
+    ym, yp, zm, zp = _inplane_shifts(u_c)
+    au = (cc * u_c + cxm * up + cxp * dn + cym * ym + cyp * yp
+          + czm * zm + czp * zp)
+    g0r, valid_r = plane_mask(jb - 5, B)
+    r_new = jnp.where(valid_r, b_avail[1:5] - au, 0.0)
+    r_win = jnp.concatenate([t_r[:], r_new], axis=0)      # [jb-9, jb-1)
+
+    # ---- restriction: coarse block i-2 (coarse planes 2(i-2), 2(i-2)+1)
+    # fine planes [4(i-2), 4(i-2)+4] = [jb-8, jb-4] = r_win[1:6]
+    rf = r_win[1:6]
+    w0m, w00, w0p = taps0
+    ra = jnp.stack([
+        w0m * rf[0] + w00 * rf[1] + w0p * rf[2],
+        w0m * rf[2] + w00 * rf[3] + w0p * rf[4],
+    ])                                                    # (2, n1, n2)
+    # axis-1 pair-reshape 3-tap
+    w1m, w10, w1p = taps1
+    nc1 = (n1 - 1) // 2
+    body = ra[:, :2 * nc1].reshape(2, nc1, 2, n2)
+    rev = body[:, :, 0]
+    rod = body[:, :, 1]
+    rev2 = jnp.concatenate([rev[:, 1:], ra[:, 2 * nc1:2 * nc1 + 1]], axis=1)
+    rb = w1m * rev + w10 * rod + w1p * rev2               # (2, nc1, n2)
+    rc = jnp.stack([_lane_restrict_block(rb[p], rm_ref, n2)
+                    for p in range(2)])                   # (2, nc1, nc2)
+
+    # ---- guarded stores (drain steps keep the previous real content)
+    @pl.when(jnp.logical_and(i >= 1, i <= nb))
+    def _store_u():
+        u_out_ref[:] = s2b.astype(u_out_ref.dtype)
+
+    @pl.when(jnp.logical_and(i >= 2, i <= nbc_blk + 1))
+    def _store_rc():
+        rc_ref[:] = rc[:, :rc_ref.shape[1], :rc_ref.shape[2]] \
+            .astype(rc_ref.dtype)
+
+    # ---- roll the tails
+    t_u0[:] = w0[-2:]
+    t_1r[:] = w1[-2:]
+    t_1b[:] = w2[-2:]
+    t_2r[:] = w3[-2:]
+    t_2b[:] = w4[-2:]
+    t_b[:] = b_avail[-6:]
+    t_r[:] = r_win[-4:]
+
+
+def supports(u) -> bool:
+    """Wavefront kernels keep ~28 full (n1, n2) f32 planes live in VMEM
+    (scratch tails + IO blocks + stage windows): gate on the plane
+    footprint so 511^2-plane grids fall back to the two-axis leg3d
+    kernels."""
+    return (u.ndim == 3 and u.dtype in (jnp.float32, jnp.bfloat16)
+            and u.shape[0] >= 4 * _B and u.shape[2] >= 63
+            and u.shape[1] * u.shape[2] * 4 * 28 <= 14 * 2 ** 20)
+
+
+def _upleg_kernel(u_ref, e_ref, b_ref, om_ref, pm_ref, u_out_ref,
+                  t_e, t_pc, t_sr, t_out, t_b, *,
+                  c, dinv, taps0, taps1, n0, n1, n2, nc0, nb):
+    """Fine block pipeline: prolong+correct (lag 0), red half-sweep
+    (lag 1), black half-sweep (lag 2); output block i-1 assembled from
+    the black tail ring."""
+    i = pl.program_id(0)
+    B = _B
+    cc, cxm, cxp, cym, cyp, czm, czp = c
+    dco = (cxm * dinv, cxp * dinv, cym * dinv, cyp * dinv,
+           czm * dinv, czp * dinv)
+
+    @pl.when(i == 0)
+    def _init():
+        for t in (t_e, t_pc, t_sr, t_out, t_b):
+            t[:] = jnp.zeros_like(t)
+
+    jb = i * B
+    g0_in = jax.lax.broadcasted_iota(jnp.int32, (B, n1, n2), 0) + jb
+    valid_in = g0_in < n0
+    u_blk = jnp.where(valid_in, u_ref[:].astype(jnp.float32), 0.0)
+    b_blk = jnp.where(valid_in, b_ref[:].astype(jnp.float32), 0.0)
+    gc = jax.lax.broadcasted_iota(jnp.int32, (2,) + e_ref.shape[1:], 0) \
+        + 2 * i
+    e_blk = jnp.where(gc < nc0, e_ref[:].astype(jnp.float32), 0.0)
+    e_win = jnp.concatenate([t_e[:], e_blk], axis=0)   # coarse [2i-1, 2i+2)
+
+    # ---- prolong + correct: fine planes [jb, jb+4)
+    # axis-0: fine 2ic <- w0p*e[ic-1] + w0m*e[ic]; fine 2ic+1 <- w00*e[ic]
+    w0m, w00, w0p = taps0
+    a0 = jnp.stack([
+        w0p * e_win[0] + w0m * e_win[1],    # fine 4i   (ic = 2i)
+        w00 * e_win[1],                     # fine 4i+1
+        w0p * e_win[1] + w0m * e_win[2],    # fine 4i+2 (ic = 2i+1)
+        w00 * e_win[2],                     # fine 4i+3
+    ])                                                  # (4, nc1, nc2)
+    # axis-1 (sublane) interpolation, full extent
+    w1m, w10, w1p = taps1
+    nc1 = a0.shape[1]
+    zrow = jnp.zeros((4, 1, a0.shape[2]), a0.dtype)
+    prev = jnp.concatenate([zrow, a0[:, :-1]], axis=1)  # e[jc-1]
+    revn = w1p * prev + w1m * a0                        # fine row 2jc
+    rodd = w10 * a0                                     # fine row 2jc+1
+    a1 = jnp.stack([revn, rodd], axis=2).reshape(4, 2 * nc1, -1)
+    # last fine row 2*nc1 only sees e[nc1-1] from below
+    a1 = jnp.concatenate([a1, w1p * a0[:, nc1 - 1:nc1]], axis=1)
+    corr = jnp.stack([_lane_prolong_block(a1[p], pm_ref, n2)
+                      for p in range(4)])               # (4, n1, n2)
+    om_c = om_ref[0, 0]
+    om_s = om_ref[0, 1]
+    pc_new = jnp.where(valid_in, u_blk + om_c * corr, 0.0)
+
+    b_avail = jnp.concatenate([t_b[:], b_blk], axis=0)  # [jb-2, jb+4)
+
+    def halfsweep(win, b_win, base, parity):
+        u = win[1:-1]
+        up = win[:-2]
+        dn = win[2:]
+        ym, yp, zm, zp = _inplane_shifts(u)
+        off = (dco[0] * up + dco[1] * dn + dco[2] * ym + dco[3] * yp
+               + dco[4] * zm + dco[5] * zp)
+        upd = om_s * (dinv * b_win - u - off)
+        g0 = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) + base
+        g1 = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
+        g2 = jax.lax.broadcasted_iota(jnp.int32, u.shape, 2)
+        valid = (g0 >= 0) & (g0 < n0)
+        checker = ((g0 + g1 + g2) % 2) == 1
+        mask = (checker if parity == 0 else ~checker) & valid
+        return jnp.where(mask, u + upd, u) * valid.astype(u.dtype)
+
+    w0_ = jnp.concatenate([t_pc[:], pc_new], axis=0)    # [jb-2, jb+4)
+    s_r = halfsweep(w0_, b_avail[1:5], jb - 1, 0)       # [jb-1, jb+3)
+    w1_ = jnp.concatenate([t_sr[:], s_r], axis=0)       # [jb-3, jb+3)
+    s_b = halfsweep(w1_, b_avail[0:4], jb - 2, 1)       # [jb-2, jb+2)
+
+    out_blk = jnp.concatenate([t_out[:], s_b[:2]], axis=0)  # [jb-4, jb)
+
+    @pl.when(jnp.logical_and(i >= 1, i <= nb))
+    def _store_u():
+        u_out_ref[:] = out_blk.astype(u_out_ref.dtype)
+
+    t_e[:] = e_win[-1:]
+    t_pc[:] = w0_[-2:]
+    t_sr[:] = w1_[-2:]
+    t_out[:] = s_b[-2:]
+    t_b[:] = b_avail[-2:]
+
+
+def upleg_wavefront_3d(u, e, b, omega_c, omega_s, stencil_vals, dinv,
+                       taps, interpret=False):
+    """Fused V-cycle up-leg for a constant 7-point operator:
+    ``u' = RB(u + omega_c * P(e))`` — prolongation, coarse-grid
+    correction, and ONE red-black post-smoothing sweep in a single
+    wavefront pass.  Returns ``u'``."""
+    n0, n1, n2 = u.shape
+    nc0, nc1, nc2 = e.shape
+    assert (n0, n1, n2) == (2 * nc0 + 1, 2 * nc1 + 1, 2 * nc2 + 1)
+    B = _B
+    nb = pl.cdiv(n0, B)
+    nbc = pl.cdiv(nc0, 2)
+    grid = (nb + 1,)
+    pmat = jnp.asarray(prolong_lane_matrices(taps[2]))
+    kernel = functools.partial(
+        _upleg_kernel, c=stencil_vals, dinv=dinv, taps0=tuple(taps[0]),
+        taps1=tuple(taps[1]), n0=n0, n1=n1, n2=n2, nc0=nc0, nb=nb)
+    om = jnp.stack([jnp.asarray(omega_c, jnp.float32),
+                    jnp.asarray(omega_s, jnp.float32)]).reshape(1, 2)
+    plane = (n1, n2)
+    scratch = [
+        pltpu.VMEM((1, nc1, nc2), jnp.float32),   # t_e
+        pltpu.VMEM((2,) + plane, jnp.float32),    # t_pc
+        pltpu.VMEM((2,) + plane, jnp.float32),    # t_sr
+        pltpu.VMEM((2,) + plane, jnp.float32),    # t_out
+        pltpu.VMEM((2,) + plane, jnp.float32),    # t_b
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, n1, n2),
+                         lambda i: (jnp.minimum(i, nb - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, nc1, nc2),
+                         lambda i: (jnp.minimum(i, nbc - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, n1, n2),
+                         lambda i: (jnp.minimum(i, nb - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, 128, 256), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, n1, n2), lambda i: (jnp.clip(i - 1, 0, nb - 1), 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * B, n1, n2), u.dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(u, e, b, om, pmat)
+    return out[:n0]
+
+
+def downleg_wavefront_3d(u, b, omegas2, stencil_vals, dinv, taps,
+                         interpret=False):
+    """Fused V-cycle down-leg for a constant 7-point operator:
+    ``u' = RB(RB(u))`` (two red-black sweeps, omegas2 = (w1, w2)) plus
+    ``rc = R(b - A u')`` with full 3D 2:1 restriction (``taps`` = 3-tap
+    weights per axis).  Returns ``(u', rc)``."""
+    n0, n1, n2 = u.shape
+    B = _B
+    nb = pl.cdiv(n0, B)
+    nc0, nc1, nc2 = (n0 - 1) // 2, (n1 - 1) // 2, (n2 - 1) // 2
+    B0c = B // 2
+    nbc_blk = pl.cdiv(nc0, B0c)
+    grid = (max(nb + 1, nbc_blk + 2),)
+    rmat = jnp.asarray(restrict_lane_matrix(taps[2]))
+    kernel = functools.partial(
+        _wavefront_kernel, c=stencil_vals, dinv=dinv, taps0=tuple(taps[0]),
+        taps1=tuple(taps[1]), n0=n0, n1=n1, n2=n2, nb=nb, nbc_blk=nbc_blk)
+    om = jnp.stack([jnp.asarray(omegas2[0], jnp.float32),
+                    jnp.asarray(omegas2[1], jnp.float32)]).reshape(1, 2)
+    plane = (n1, n2)
+    scratch = [
+        pltpu.VMEM((2,) + plane, jnp.float32),   # t_u0
+        pltpu.VMEM((2,) + plane, jnp.float32),   # t_1r
+        pltpu.VMEM((2,) + plane, jnp.float32),   # t_1b
+        pltpu.VMEM((2,) + plane, jnp.float32),   # t_2r
+        pltpu.VMEM((2,) + plane, jnp.float32),   # t_2b
+        pltpu.VMEM((6,) + plane, jnp.float32),   # t_b
+        pltpu.VMEM((4,) + plane, jnp.float32),   # t_r
+    ]
+    u_out, rc = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, n1, n2),
+                         lambda i: (jnp.minimum(i, nb - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, n1, n2),
+                         lambda i: (jnp.minimum(i, nb - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((384, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, n1, n2),
+                         lambda i: (jnp.clip(i - 1, 0, nb - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B0c, nc1, nc2),
+                         lambda i: (jnp.clip(i - 2, 0, nbc_blk - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb * B, n1, n2), u.dtype),
+            jax.ShapeDtypeStruct((nbc_blk * B0c, nc1, nc2), u.dtype),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(u, b, om, rmat)
+    return u_out[:n0], rc[:nc0]
