@@ -67,6 +67,12 @@ class Config:
     #: 1.82 ms/cycle at 4095^2), so off by default — flip on where the
     #: HBM:VPU balance differs
     loop_fusion: bool = False
+    #: combined red+black update form in the 2D Pallas sweep loops: one
+    #: residual evaluation per full sweep plus a black-only neighbor
+    #: correction — algebraically identical to the two masked half-sweeps
+    #: for 5-point operators (ops/pallas/transfer._rb_sweep_loop); A/B
+    #: flag for the masked-update-waste lever (round 4)
+    combined_rb: bool = False
     #: nonlinear coarsest-grid solver sweeps (reference FAS template: 200)
     nonlinear_cgs_sweeps: int = 200
     nonlinear_cgs_omega: float = 0.8

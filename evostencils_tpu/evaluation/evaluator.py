@@ -185,7 +185,7 @@ class CycleEvaluator:
         """One-element fetch: the only reliable synchronization point
         through the axon relay (block_until_ready only acknowledges
         enqueue — BASELINE.md timing-infrastructure notes)."""
-        return float(np.asarray(jax.device_get(a.ravel()[0])))
+        return float(np.abs(np.asarray(jax.device_get(a.ravel()[0]))))
 
     def _solve_window(self, run, om, x, n_solves: int, salt: int):
         """Time one window of ``n_solves`` chained solves.  Returns

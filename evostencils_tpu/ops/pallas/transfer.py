@@ -258,16 +258,8 @@ def _smooth_rr_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
     # and bd = dinv*b hoisted out of the sweeps (VPU-bound kernel).
     dw, de, dn_, ds = (c_w * dinv, c_e * dinv, c_n * dinv, c_s * dinv)
     bd = dinv * b
-    for k in range(n_sweeps):
-        omega = omega_ref[0, k]
-        for parity in (0, 1):
-            up = jnp.concatenate([zr, u[:-1, :]], axis=0)
-            dn = jnp.concatenate([u[1:, :], zr], axis=0)
-            left = jnp.concatenate([zc, u[:, :-1]], axis=1)
-            right = jnp.concatenate([u[:, 1:], zc], axis=1)
-            upd = omega * (bd - u - _offdiag_sum(up, dn, left, right,
-                                                 dw, de, dn_, ds))
-            u = u + jnp.where(masks[parity], upd, 0.0)
+    u = _rb_sweep_loop(u, bd, omega_ref, 0, n_sweeps, masks,
+                       (dw, de, dn_, ds), zr, zc)
 
     r = jnp.where(valid, b - a_of(u), 0.0)
 
@@ -389,16 +381,8 @@ def _pc_smooth_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
     masks = (checker & valid, (~checker) & valid)   # hoisted out of sweeps
     dw, de, dn_, ds = (c_w * dinv, c_e * dinv, c_n * dinv, c_s * dinv)
     bd = dinv * b
-    for k in range(n_sweeps):
-        omega = omega_ref[0, k + 1]
-        for parity in (0, 1):
-            up = jnp.concatenate([zr, u[:-1, :]], axis=0)
-            dn = jnp.concatenate([u[1:, :], zr], axis=0)
-            left = jnp.concatenate([zc, u[:, :-1]], axis=1)
-            right = jnp.concatenate([u[:, 1:], zc], axis=1)
-            upd = omega * (bd - u - _offdiag_sum(up, dn, left, right,
-                                                 dw, de, dn_, ds))
-            u = u + jnp.where(masks[parity], upd, 0.0)
+    u = _rb_sweep_loop(u, bd, omega_ref, 1, n_sweeps, masks,
+                       (dw, de, dn_, ds), zr, zc)
 
     out_ref[:] = u[8:8 + R].astype(out_ref.dtype)
 
@@ -519,16 +503,8 @@ def _vleg_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref, b_curr_ref,
     masks = (checker & valid, (~checker) & valid)
     dw, de, dn_, ds = (c_w * dinv, c_e * dinv, c_n * dinv, c_s * dinv)
     bd = dinv * b
-    for k in range(n_sweeps):
-        omega = omega_ref[0, k + 1]
-        for parity in (0, 1):
-            up = jnp.concatenate([zr, u[:-1, :]], axis=0)
-            dn = jnp.concatenate([u[1:, :], zr], axis=0)
-            left = jnp.concatenate([zc, u[:, :-1]], axis=1)
-            right = jnp.concatenate([u[:, 1:], zc], axis=1)
-            upd = omega * (bd - u - _offdiag_sum(up, dn, left, right,
-                                                 dw, de, dn_, ds))
-            u = u + jnp.where(masks[parity], upd, 0.0)
+    u = _rb_sweep_loop(u, bd, omega_ref, 1, n_sweeps, masks,
+                       (dw, de, dn_, ds), zr, zc)
 
     up = jnp.concatenate([zr, u[:-1, :]], axis=0)
     dn = jnp.concatenate([u[1:, :], zr], axis=0)
@@ -648,6 +624,42 @@ def _offdiag_sum(up, dn, left, right, dw, de, dn_, ds):
     NET-SLOWER (1.279 -> 1.396 ms/cycle on the 4095^2 headline): the
     serialized adds break Mosaic's FMA chains, so the 4-FMA form stays."""
     return dw * up + de * dn + dn_ * left + ds * right
+
+
+def _rb_sweep_loop(u, bd, omega_ref, om0, n_sweeps, masks, dco, zr, zc):
+    """n_sweeps red-black (or single-mask Jacobi) sweeps over a window.
+
+    ``config.combined_rb`` switches to the COMBINED update form: for a
+    5-point operator every neighbor of a black node is red, so the black
+    half-sweep's residual change is exactly the off-diagonal apply of the
+    red update g — one residual evaluation per sweep plus a black-only
+    correction, algebraically identical to the two masked half-sweeps
+    while masking half the updates away only once (round-4 masked-update
+    -waste item; measured A/B decides the default)."""
+    dw, de, dn_, ds = dco
+
+    def offdiag(v):
+        up = jnp.concatenate([zr, v[:-1, :]], axis=0)
+        dn = jnp.concatenate([v[1:, :], zr], axis=0)
+        left = jnp.concatenate([zc, v[:, :-1]], axis=1)
+        right = jnp.concatenate([v[:, 1:], zc], axis=1)
+        return _offdiag_sum(up, dn, left, right, dw, de, dn_, ds)
+
+    from ...config import config
+    combined = getattr(config, "combined_rb", False) and len(masks) == 2
+    if combined:
+        valid = masks[0] | masks[1]
+        for k in range(n_sweeps):
+            omega = omega_ref[0, om0 + k]
+            g = jnp.where(valid, omega * (bd - u - offdiag(u)), 0.0)
+            u = u + g - jnp.where(masks[1], omega * offdiag(g), 0.0)
+        return u
+    for k in range(n_sweeps):
+        omega = omega_ref[0, om0 + k]
+        for parity in range(len(masks)):
+            upd = omega * (bd - u - offdiag(u))
+            u = u + jnp.where(masks[parity], upd, 0.0)
+    return u
 
 
 def restrict_lane_matrix(taps) -> np.ndarray:
@@ -775,16 +787,8 @@ def _smooth_rr_col_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
     zc = jnp.zeros((W, 1), u.dtype)
     dw, de, dn_, ds = (c_w * dinv, c_e * dinv, c_n * dinv, c_s * dinv)
     bd = dinv * b
-    for k in range(n_sweeps):
-        omega = omega_ref[0, k]
-        for parity in (0, 1):
-            up = jnp.concatenate([zr, u[:-1, :]], axis=0)
-            dn = jnp.concatenate([u[1:, :], zr], axis=0)
-            left = jnp.concatenate([zc, u[:, :-1]], axis=1)
-            right = jnp.concatenate([u[:, 1:], zc], axis=1)
-            upd = omega * (bd - u - _offdiag_sum(up, dn, left, right,
-                                                 dw, de, dn_, ds))
-            u = u + jnp.where(masks[parity], upd, 0.0)
+    u = _rb_sweep_loop(u, bd, omega_ref, 0, n_sweeps, masks,
+                       (dw, de, dn_, ds), zr, zc)
 
     up = jnp.concatenate([zr, u[:-1, :]], axis=0)
     dn = jnp.concatenate([u[1:, :], zr], axis=0)
@@ -904,16 +908,8 @@ def _pc_smooth_col_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
     masks = (checker & valid, (~checker) & valid)
     dw, de, dn_, ds = (c_w * dinv, c_e * dinv, c_n * dinv, c_s * dinv)
     bd = dinv * b
-    for k in range(n_sweeps):
-        omega = omega_ref[0, k + 1]
-        for parity in (0, 1):
-            up = jnp.concatenate([zr, u[:-1, :]], axis=0)
-            dn = jnp.concatenate([u[1:, :], zr], axis=0)
-            left = jnp.concatenate([zc, u[:, :-1]], axis=1)
-            right = jnp.concatenate([u[:, 1:], zc], axis=1)
-            upd = omega * (bd - u - _offdiag_sum(up, dn, left, right,
-                                                 dw, de, dn_, ds))
-            u = u + jnp.where(masks[parity], upd, 0.0)
+    u = _rb_sweep_loop(u, bd, omega_ref, 1, n_sweeps, masks,
+                       (dw, de, dn_, ds), zr, zc)
 
     out_ref[:] = u[8:8 + R].astype(out_ref.dtype)
 
@@ -1026,16 +1022,8 @@ def _vleg_col_kernel(u_prev_ref, u_curr_ref, u_next_ref, b_prev_ref,
     masks = (checker & valid, (~checker) & valid)
     dw, de, dn_, ds = (c_w * dinv, c_e * dinv, c_n * dinv, c_s * dinv)
     bd = dinv * b
-    for k in range(n_sweeps):
-        omega = omega_ref[0, k + 1]
-        for parity in (0, 1):
-            up = jnp.concatenate([zr, u[:-1, :]], axis=0)
-            dn = jnp.concatenate([u[1:, :], zr], axis=0)
-            left = jnp.concatenate([zc, u[:, :-1]], axis=1)
-            right = jnp.concatenate([u[:, 1:], zc], axis=1)
-            upd = omega * (bd - u - _offdiag_sum(up, dn, left, right,
-                                                 dw, de, dn_, ds))
-            u = u + jnp.where(masks[parity], upd, 0.0)
+    u = _rb_sweep_loop(u, bd, omega_ref, 1, n_sweeps, masks,
+                       (dw, de, dn_, ds), zr, zc)
 
     up = jnp.concatenate([zr, u[:-1, :]], axis=0)
     dn = jnp.concatenate([u[1:, :], zr], axis=0)
