@@ -267,6 +267,12 @@ class CycleEvaluator:
         x = out[0]
         iters = max(int(jax.device_get(out[1])), 1)    # compile + warm
         w_probe, x = self._solve_window(run, om, x, 1, 0)
+        if w_probe > self.timing_window_budget_s:
+            # seconds-long solves (e.g. iteration-capped failures): the
+            # fixed round trip is <2% of the window — one sample is
+            # enough, and a full series would stall the generation
+            entry["cycle_time_ms"] = w_probe * 1e3 / iters
+            return entry["cycle_time_ms"]
         sizes = self._window_plan(w_probe)
         per_s, x, _ = self._timing_series(run, om, x, sizes=sizes, salt0=1)
         per_s.setdefault(1, []).append(w_probe)

@@ -80,15 +80,27 @@ def _wavefront_kernel(u_ref, b_ref, om_ref, rm_ref, u_out_ref, rc_ref,
 
     jb = i * B      # first plane of this step's input block (clamped map)
 
-    def plane_mask(base, P):
-        g0 = jax.lax.broadcasted_iota(jnp.int32, (P, n1, n2), 0) + base
+    # in-plane parity hoisted across all stages; per-stage plane masks
+    # are cheap (B, 1, 1) broadcasts — keeps the big int32 iota
+    # temporaries out of every half-sweep (scoped-VMEM pressure)
+    g12 = (jax.lax.broadcasted_iota(jnp.int32, (1, n1, n2), 1)
+           + jax.lax.broadcasted_iota(jnp.int32, (1, n1, n2), 2))
+
+    def plane_valid(base):
+        g0 = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1), 0) + base
         return g0, (g0 >= 0) & (g0 < n0)
 
-    g0_in, valid_in = plane_mask(jb, B)
+    def stage_mask(base, parity):
+        g0, valid = plane_valid(base)
+        checker = ((g12 + g0) % 2) == 1     # red: even node parity
+        mask = (checker if parity == 0 else ~checker) & valid
+        return mask, valid
+
+    _, valid_in = plane_valid(jb)
     u0_blk = jnp.where(valid_in, u_ref[:].astype(jnp.float32), 0.0)
     b_blk = jnp.where(valid_in, b_ref[:].astype(jnp.float32), 0.0)
 
-    # b availability window: planes [jb-6, jb+4)
+    # b availability window: planes [jb-5, jb+4)
     b_avail = jnp.concatenate([t_b[:], b_blk], axis=0)
 
     def halfsweep(win, b_win, base, parity, omega):
@@ -101,24 +113,19 @@ def _wavefront_kernel(u_ref, b_ref, om_ref, rm_ref, u_out_ref, rc_ref,
         off = (dco[0] * up + dco[1] * dn + dco[2] * ym + dco[3] * yp
                + dco[4] * zm + dco[5] * zp)
         upd = omega * (dinv * b_win - u - off)
-        g0 = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) + base
-        g1 = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
-        g2 = jax.lax.broadcasted_iota(jnp.int32, u.shape, 2)
-        valid = (g0 >= 0) & (g0 < n0)
-        checker = ((g0 + g1 + g2) % 2) == 1     # red: even node parity
-        mask = (checker if parity == 0 else ~checker) & valid
-        return jnp.where(mask, u + upd, u) * valid.astype(u.dtype)
+        mask, valid = stage_mask(base, parity)
+        return jnp.where(mask, u + upd, jnp.where(valid, u, 0.0))
 
     om1 = om_ref[0, 0]
     om2 = om_ref[0, 1]
     w0 = jnp.concatenate([t_u0[:], u0_blk], axis=0)       # [jb-2, jb+4)
-    s1r = halfsweep(w0, b_avail[5:9], jb - 1, 0, om1)     # [jb-1, jb+3)
+    s1r = halfsweep(w0, b_avail[4:8], jb - 1, 0, om1)     # [jb-1, jb+3)
     w1 = jnp.concatenate([t_1r[:], s1r], axis=0)          # [jb-3, jb+3)
-    s1b = halfsweep(w1, b_avail[4:8], jb - 2, 1, om1)     # [jb-2, jb+2)
+    s1b = halfsweep(w1, b_avail[3:7], jb - 2, 1, om1)     # [jb-2, jb+2)
     w2 = jnp.concatenate([t_1b[:], s1b], axis=0)          # [jb-4, jb+2)
-    s2r = halfsweep(w2, b_avail[3:7], jb - 3, 0, om2)     # [jb-3, jb+1)
+    s2r = halfsweep(w2, b_avail[2:6], jb - 3, 0, om2)     # [jb-3, jb+1)
     w3 = jnp.concatenate([t_2r[:], s2r], axis=0)          # [jb-5, jb+1)
-    s2b = halfsweep(w3, b_avail[2:6], jb - 4, 1, om2)     # [jb-4, jb)
+    s2b = halfsweep(w3, b_avail[1:5], jb - 4, 1, om2)     # [jb-4, jb)
     w4 = jnp.concatenate([t_2b[:], s2b], axis=0)          # [jb-6, jb)
 
     # residual planes [jb-5, jb-1)
@@ -128,13 +135,13 @@ def _wavefront_kernel(u_ref, b_ref, om_ref, rm_ref, u_out_ref, rc_ref,
     ym, yp, zm, zp = _inplane_shifts(u_c)
     au = (cc * u_c + cxm * up + cxp * dn + cym * ym + cyp * yp
           + czm * zm + czp * zp)
-    g0r, valid_r = plane_mask(jb - 5, B)
-    r_new = jnp.where(valid_r, b_avail[1:5] - au, 0.0)
-    r_win = jnp.concatenate([t_r[:], r_new], axis=0)      # [jb-9, jb-1)
+    _, valid_r = plane_valid(jb - 5)
+    r_new = jnp.where(valid_r, b_avail[0:4] - au, 0.0)
+    r_win = jnp.concatenate([t_r[:], r_new], axis=0)      # [jb-8, jb-1)
 
     # ---- restriction: coarse block i-2 (coarse planes 2(i-2), 2(i-2)+1)
-    # fine planes [4(i-2), 4(i-2)+4] = [jb-8, jb-4] = r_win[1:6]
-    rf = r_win[1:6]
+    # fine planes [4(i-2), 4(i-2)+4] = [jb-8, jb-4] = r_win[0:5]
+    rf = r_win[0:5]
     w0m, w00, w0p = taps0
     ra = jnp.stack([
         w0m * rf[0] + w00 * rf[1] + w0p * rf[2],
@@ -167,8 +174,8 @@ def _wavefront_kernel(u_ref, b_ref, om_ref, rm_ref, u_out_ref, rc_ref,
     t_1b[:] = w2[-2:]
     t_2r[:] = w3[-2:]
     t_2b[:] = w4[-2:]
-    t_b[:] = b_avail[-6:]
-    t_r[:] = r_win[-4:]
+    t_b[:] = b_avail[-5:]
+    t_r[:] = r_win[-3:]
 
 
 def supports(u) -> bool:
@@ -349,8 +356,8 @@ def downleg_wavefront_3d(u, b, omegas2, stencil_vals, dinv, taps,
         pltpu.VMEM((2,) + plane, jnp.float32),   # t_1b
         pltpu.VMEM((2,) + plane, jnp.float32),   # t_2r
         pltpu.VMEM((2,) + plane, jnp.float32),   # t_2b
-        pltpu.VMEM((6,) + plane, jnp.float32),   # t_b
-        pltpu.VMEM((4,) + plane, jnp.float32),   # t_r
+        pltpu.VMEM((5,) + plane, jnp.float32),   # t_b
+        pltpu.VMEM((3,) + plane, jnp.float32),   # t_r
     ]
     u_out, rc = pl.pallas_call(
         kernel,

@@ -64,6 +64,13 @@ def main():
     # cap (reference k-doubling, exastencils.py:518-532)
     variant = helmholtz_2d_split(k=2 * args.k, **kwargs)
     variant.dtype = np.float64
+    # evolution-time iteration cap: the reference-config preconditioner
+    # needs 265 its at k=80 / ~1300 at 2k; candidates beyond ~2000 are
+    # dead anyway and the reference's 10000 cap makes every FAILING
+    # candidate cost ~50 s of CPU BiCGStab — the final protocol
+    # (helmholtz_convergence.py) keeps the full 10000 cap
+    problem.max_iterations = 2000
+    variant.max_iterations = 2000
     evaluator = CycleEvaluator(problem, dtype=np.float64)
     opt = Optimizer(problem, evaluator=evaluator, rng=random.Random(7),
                     robustness_problems=[variant],
