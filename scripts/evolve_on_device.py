@@ -64,6 +64,8 @@ def main():
     problem = poisson_2d(max_level=max_level, min_level=min_level)
     problem.dtype = np.float32
     evaluator = CycleEvaluator(problem)
+    # compiles run in the remote compile service; local threads only wait
+    evaluator.compile_workers = 8
     prescreen = None
     if not args.no_prescreen:
         # same 5-level hierarchy at 127^2 on the host CPU

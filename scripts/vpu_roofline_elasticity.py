@@ -35,12 +35,17 @@ def measure_vpu_peak(interpret=False):
     shape = (256, 512)
 
     def kernel(x_ref, o_ref):
-        y = x_ref[:]
         a = jnp.float32(1.0000001)
         b = jnp.float32(1e-7)
-        for _ in range(K):
-            y = y * a + b
-        o_ref[:] = y
+
+        # 8-wide unroll inside a fori_loop: ILP without a 512-op program
+        # (a fully unrolled chain hung the remote compile service)
+        def body(_, y):
+            for _ in range(8):
+                y = y * a + b
+            return y
+
+        o_ref[:] = jax.lax.fori_loop(0, K // 8, body, x_ref[:])
 
     @jax.jit
     def run(x):
