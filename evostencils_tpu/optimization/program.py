@@ -303,6 +303,7 @@ class Optimizer:
                           use_random_search=False,
                           finished_chunks=None,
                           node_replacement_probability=1.0 / 3.0,
+                          initial_individuals=None,
                           verbose=True):
         toolbox_generate = lambda: gp.genGrow(self._pset, 0, 50, rng=self.rng)
 
@@ -355,8 +356,20 @@ class Optimizer:
                     for pos, node in enumerate(ind):
                         ind[pos] = self._pset.mapping[node.name]
         else:
-            population = [toolbox_generate()
-                          for _ in range(initial_population_size)]
+            # optional seeds: known-good grammar strings (grammar/seeds.py)
+            # prepended to the random initial population — the reference's
+            # campaigns start near working configurations too
+            seeds = []
+            for s in (initial_individuals or []):
+                try:
+                    seeds.append(gp.parse_tree(s, self._pset))
+                except (KeyError, ValueError, SyntaxError) as e:
+                    if self.comm.rank == 0:
+                        print(f"seed individual does not parse ({e}); "
+                              "skipped", flush=True)
+            population = seeds + [
+                toolbox_generate()
+                for _ in range(initial_population_size - len(seeds))]
             min_generation = 0
             logbook = []
             logbooks.append(logbook)
@@ -622,7 +635,7 @@ class Optimizer:
              crossover_probability=0.7, mutation_probability=0.3,
              logbooks=None, checkpoint=None, checkpoint_frequency=2,
              use_random_search=False, finished_chunks=None,
-             pset_builder=None, verbose=True):
+             pset_builder=None, initial_individuals=None, verbose=True):
         self._pset = pset
         if pset_builder is not None:
             self._pset_builder = pset_builder
@@ -633,7 +646,8 @@ class Optimizer:
             mu_, lambda_, crossover_probability, mutation_probability,
             min_level, max_level, logbooks, select, select_for_mating, hof,
             objectives, checkpoint_frequency, checkpoint, use_random_search,
-            finished_chunks, verbose=verbose)
+            finished_chunks, initial_individuals=initial_individuals,
+            verbose=verbose)
 
     # -- top-level entry -----------------------------------------------------
 
@@ -655,6 +669,7 @@ class Optimizer:
                                   enable_partitioning=True,
                                   continue_from_checkpoint=False,
                                   use_random_search=False,
+                                  initial_individuals=None,
                                   verbose=True):
         """Level-chunked evolution (reference optimization/program.py:770-902):
         the finest chunk evolves first (its coarse-grid solve is a default
@@ -812,7 +827,9 @@ class Optimizer:
                 mutation_probability=mutation_probability,
                 logbooks=logbooks, checkpoint=tmp,
                 use_random_search=use_random_search,
-                finished_chunks=finished, verbose=verbose)
+                finished_chunks=finished,
+                initial_individuals=initial_individuals if ci == 0 else None,
+                verbose=verbose)
 
             ranked = sorted(hof, key=sort_key)
             pops.append(pop)

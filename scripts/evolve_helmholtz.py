@@ -76,10 +76,19 @@ def main():
                     robustness_problems=[variant],
                     checkpoint_directory_path=args.ckpt_dir)
 
+    # seed: the reference-config shifted-Laplace V(2,1) collective RB 0.6
+    # preconditioner (2D_FD_Helmholtz_fromL3.exa3:203-212) — on the
+    # indefinite operator a random mu=8 population contains nothing that
+    # converges, so evolution starts from the reference's own baseline
+    # (265 BiCGStab iterations at k=80) exactly as its notebook journey
+    from evostencils_tpu.grammar.seeds import v_cycle_string
+    depth = args.max_level - args.min_level
+    seed = v_cycle_string(depth, args.max_level,
+                          smoother="collective_jacobi", omega=0.6)
     t0 = time.perf_counter()
     result = opt.evolutionary_optimization(
         mu_=args.mu, lambda_=args.mu, population_initialization_factor=2,
-        generations=args.generations,
+        generations=args.generations, initial_individuals=[seed],
         continue_from_checkpoint=args.resume, verbose=True)
     wall = time.perf_counter() - t0
     best = result["best_individual"]
