@@ -1036,9 +1036,6 @@ class _Lowering:
         if len(plan["sweeps"]) != 2 or \
                 plan["partitioning"] is not part.RedBlack:
             return None
-        taps = self._axis_taps_3d(plan["restriction"])
-        if taps is None:
-            return None
         x = self.eval_function(plan["base"])
         if len(x) != 1 or not wavefront3d.supports(x[0]):
             return None
@@ -1047,10 +1044,13 @@ class _Lowering:
         vals = plan["sig"][1]
         omegas = [self.omegas[c.global_id]
                   for c in reversed(plan["sweeps"])]
-        u_s, rc = wavefront3d.downleg_wavefront_3d(
-            u, b[0], (omegas[0], omegas[1]), vals, 1.0 / vals[0], taps,
+        u_s, r = wavefront3d.downleg_wavefront_3d(
+            u, b[0], (omegas[0], omegas[1]), vals, 1.0 / vals[0],
             interpret=pallas_interpret())
-        return ((u_s,), (rc,))
+        # the restriction stays outside the kernel (scoped-VMEM budget):
+        # the generic separable apply contracts r on the MXU
+        rc = self.apply_operator(plan["restriction"], (r,))
+        return ((u_s,), rc)
 
     def _run_post_fusion_3d(self, plan):
         """const7 up-leg: prolong + correct + 1 RB post-sweep as ONE

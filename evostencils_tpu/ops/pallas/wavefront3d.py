@@ -1,32 +1,33 @@
-"""Wavefront (temporally-blocked) 3D down-leg: 2 red-black sweeps +
-residual + full restriction in ONE pass over the fine grid.
+"""Wavefront (temporally-blocked) 3D V-cycle legs.
 
 The two-axis-blocked leg kernels (leg3d.py) run each sweep as its own
 pass, so the V(2,1) down-leg at 255^3 streams u and b three times with
 ~1.7x halo read amplification — the 4x-off-HBM-floor gap named in
 BASELINE.md rounds 2-3.  Multi-sweep super-fusion with spatial halos
-alone needs 6-plane halos that do not fit VMEM; this kernel instead
-pipelines a PLANE WAVEFRONT along axis 0 (classic temporal blocking):
+alone needs 6-plane halos that do not fit VMEM; these kernels instead
+pipeline a PLANE WAVEFRONT along axis 0 (classic temporal blocking):
 
 * the grid iterates axis-0 blocks of B=4 planes SEQUENTIALLY on one
   core, full (n1, n2) plane extent (no axis-1/2 blocking: a 255^2 f32
   plane is 255 KB — four-plane slabs fit VMEM comfortably);
-* five pipeline stages (4 half-sweeps + residual) each lag their
-  producer by one plane; per step each stage computes exactly B planes,
-  consuming the producer's fresh planes plus a 2-plane VMEM scratch tail
-  carried from the previous step — every plane of every stage is
-  computed EXACTLY ONCE (no halo recompute at all);
-* u and b are read once, the smoothed u and the restricted residual are
-  written once: HBM traffic = 2 reads + 1 + 1/8 writes of the fine grid,
-  the leg's true speed-of-light.
+* the pipeline stages (4 half-sweeps + residual in the down-leg;
+  prolong+correct + 2 half-sweeps in the up-leg) each lag their producer
+  by one plane; per step each stage computes exactly B planes, consuming
+  the producer's fresh planes plus a small VMEM scratch tail carried
+  between sequential grid steps — every plane of every stage is computed
+  EXACTLY ONCE (no halo recompute at all);
+* u and b are read once per leg and the outputs written once.
 
-Stage plane ranges at input block j (planes [4j, 4j+4)):
+Down-leg stage plane ranges at input block j (planes [4j, 4j+4)):
   sweep-1 red   [4j-1, 4j+3)        sweep-1 black [4j-2, 4j+2)
-  sweep-2 red   [4j-3, 4j+1)        sweep-2 black [4j-4, 4j)   = u block j-1
-  residual      [4j-5, 4j-1)        restriction: coarse block j-2
-The outputs are written with lagging index maps; the drain steps keep
-the last real block in the (revisited) output buffer via pl.when-guarded
-stores.
+  sweep-2 red   [4j-3, 4j+1)        sweep-2 black [4j-4, 4j)  = u block j-1
+  residual      [4j-5, 4j-1)        r ring emits    r block j-2
+Outputs are written with lagging index maps; drain steps keep the last
+real block in the (revisited) output buffer via pl.when-guarded stores.
+The down-leg emits the FULL residual; the separable restriction runs
+outside (keeping it in-kernel cost the 384x128 tap matrix plus ~1.5 MB
+of interpolation temporaries — ~100 KB over the 16 MB scoped-VMEM limit
+at 255^3).
 
 Reference counterpart: the generated C++ solver's loop nest per sweep
 (ExaStencils treats 3D like 2D); this fusion has no reference
@@ -43,8 +44,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .transfer import (_lane_restrict_block, restrict_lane_matrix,
-                       _lane_prolong_block, prolong_lane_matrices)
+from .transfer import _lane_prolong_block, prolong_lane_matrices
 
 _B = 4          # planes per step (the stage lags align with B=4 blocks)
 
@@ -61,9 +61,9 @@ def _inplane_shifts(v):
     return ym, yp, zm, zp
 
 
-def _wavefront_kernel(u_ref, b_ref, om_ref, rm_ref, u_out_ref, rc_ref,
+def _wavefront_kernel(u_ref, b_ref, om_ref, u_out_ref, r_out_ref,
                       t_u0, t_1r, t_1b, t_2r, t_2b, t_b, t_r, *,
-                      c, dinv, taps0, taps1, n0, n1, n2, nb, nbc_blk):
+                      c, dinv, n0, n1, n2, nb):
     i = pl.program_id(0)
     B = _B
     cc, cxm, cxp, cym, cyp, czm, czp = c
@@ -98,7 +98,10 @@ def _wavefront_kernel(u_ref, b_ref, om_ref, rm_ref, u_out_ref, rc_ref,
 
     _, valid_in = plane_valid(jb)
     u0_blk = jnp.where(valid_in, u_ref[:].astype(jnp.float32), 0.0)
-    b_blk = jnp.where(valid_in, b_ref[:].astype(jnp.float32), 0.0)
+    # b needs no validity mask: it only enters pointwise through updates
+    # that the stage masks already zero at invalid planes (one less
+    # (B, n1, n2) copy — scoped-VMEM pressure)
+    b_blk = b_ref[:].astype(jnp.float32)
 
     # b availability window: planes [jb-5, jb+4)
     b_avail = jnp.concatenate([t_b[:], b_blk], axis=0)
@@ -139,34 +142,15 @@ def _wavefront_kernel(u_ref, b_ref, om_ref, rm_ref, u_out_ref, rc_ref,
     r_new = jnp.where(valid_r, b_avail[0:4] - au, 0.0)
     r_win = jnp.concatenate([t_r[:], r_new], axis=0)      # [jb-8, jb-1)
 
-    # ---- restriction: coarse block i-2 (coarse planes 2(i-2), 2(i-2)+1)
-    # fine planes [4(i-2), 4(i-2)+4] = [jb-8, jb-4] = r_win[0:5]
-    rf = r_win[0:5]
-    w0m, w00, w0p = taps0
-    ra = jnp.stack([
-        w0m * rf[0] + w00 * rf[1] + w0p * rf[2],
-        w0m * rf[2] + w00 * rf[3] + w0p * rf[4],
-    ])                                                    # (2, n1, n2)
-    # axis-1 pair-reshape 3-tap
-    w1m, w10, w1p = taps1
-    nc1 = (n1 - 1) // 2
-    body = ra[:, :2 * nc1].reshape(2, nc1, 2, n2)
-    rev = body[:, :, 0]
-    rod = body[:, :, 1]
-    rev2 = jnp.concatenate([rev[:, 1:], ra[:, 2 * nc1:2 * nc1 + 1]], axis=1)
-    rb = w1m * rev + w10 * rod + w1p * rev2               # (2, nc1, n2)
-    rc = jnp.stack([_lane_restrict_block(rb[p], rm_ref, n2)
-                    for p in range(2)])                   # (2, nc1, nc2)
-
-    # ---- guarded stores (drain steps keep the previous real content)
+    # ---- guarded stores (drain steps keep the previous real content).
+    # The residual lags 8 planes: r block i-2 = r_win[0:4].
     @pl.when(jnp.logical_and(i >= 1, i <= nb))
     def _store_u():
         u_out_ref[:] = s2b.astype(u_out_ref.dtype)
 
-    @pl.when(jnp.logical_and(i >= 2, i <= nbc_blk + 1))
-    def _store_rc():
-        rc_ref[:] = rc[:, :rc_ref.shape[1], :rc_ref.shape[2]] \
-            .astype(rc_ref.dtype)
+    @pl.when(jnp.logical_and(i >= 2, i <= nb + 1))
+    def _store_r():
+        r_out_ref[:] = r_win[0:4].astype(r_out_ref.dtype)
 
     # ---- roll the tails
     t_u0[:] = w0[-2:]
@@ -179,13 +163,68 @@ def _wavefront_kernel(u_ref, b_ref, om_ref, rm_ref, u_out_ref, rc_ref,
 
 
 def supports(u) -> bool:
-    """Wavefront kernels keep ~28 full (n1, n2) f32 planes live in VMEM
-    (scratch tails + IO blocks + stage windows): gate on the plane
+    """The wavefront kernels keep ~25 full (n1, n2) f32 planes live in
+    VMEM (scratch tails + IO blocks + stage windows): gate on the plane
     footprint so 511^2-plane grids fall back to the two-axis leg3d
     kernels."""
     return (u.ndim == 3 and u.dtype in (jnp.float32, jnp.bfloat16)
             and u.shape[0] >= 4 * _B and u.shape[2] >= 63
             and u.shape[1] * u.shape[2] * 4 * 28 <= 14 * 2 ** 20)
+
+
+def downleg_wavefront_3d(u, b, omegas2, stencil_vals, dinv,
+                         interpret=False):
+    """Fused V-cycle down-leg for a constant 7-point operator:
+    ``u' = RB(RB(u))`` (two red-black sweeps, omegas2 = (w1, w2)) plus
+    the residual ``r = b - A u'`` in one wavefront pass.  Returns
+    ``(u', r)``; the caller applies the (separable) restriction to r."""
+    n0, n1, n2 = u.shape
+    B = _B
+    nb = pl.cdiv(n0, B)
+    grid = (nb + 2,)
+    kernel = functools.partial(
+        _wavefront_kernel, c=stencil_vals, dinv=dinv,
+        n0=n0, n1=n1, n2=n2, nb=nb)
+    om = jnp.stack([jnp.asarray(omegas2[0], jnp.float32),
+                    jnp.asarray(omegas2[1], jnp.float32)]).reshape(1, 2)
+    plane = (n1, n2)
+    scratch = [
+        pltpu.VMEM((2,) + plane, jnp.float32),   # t_u0
+        pltpu.VMEM((2,) + plane, jnp.float32),   # t_1r
+        pltpu.VMEM((2,) + plane, jnp.float32),   # t_1b
+        pltpu.VMEM((2,) + plane, jnp.float32),   # t_2r
+        pltpu.VMEM((2,) + plane, jnp.float32),   # t_2b
+        pltpu.VMEM((5,) + plane, jnp.float32),   # t_b
+        pltpu.VMEM((3,) + plane, jnp.float32),   # t_r
+    ]
+    u_out, r_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, n1, n2),
+                         lambda i: (jnp.minimum(i, nb - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, n1, n2),
+                         lambda i: (jnp.minimum(i, nb - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, n1, n2),
+                         lambda i: (jnp.clip(i - 1, 0, nb - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, n1, n2),
+                         lambda i: (jnp.clip(i - 2, 0, nb - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb * B, n1, n2), u.dtype),
+            jax.ShapeDtypeStruct((nb * B, n1, n2), u.dtype),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(u, b, om)
+    return u_out[:n0], r_out[:n0]
 
 
 def _upleg_kernel(u_ref, e_ref, b_ref, om_ref, pm_ref, u_out_ref,
@@ -206,12 +245,11 @@ def _upleg_kernel(u_ref, e_ref, b_ref, om_ref, pm_ref, u_out_ref,
             t[:] = jnp.zeros_like(t)
 
     jb = i * B
-    g0_in = jax.lax.broadcasted_iota(jnp.int32, (B, n1, n2), 0) + jb
+    g0_in = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1), 0) + jb
     valid_in = g0_in < n0
     u_blk = jnp.where(valid_in, u_ref[:].astype(jnp.float32), 0.0)
-    b_blk = jnp.where(valid_in, b_ref[:].astype(jnp.float32), 0.0)
-    gc = jax.lax.broadcasted_iota(jnp.int32, (2,) + e_ref.shape[1:], 0) \
-        + 2 * i
+    b_blk = b_ref[:].astype(jnp.float32)
+    gc = jax.lax.broadcasted_iota(jnp.int32, (2, 1, 1), 0) + 2 * i
     e_blk = jnp.where(gc < nc0, e_ref[:].astype(jnp.float32), 0.0)
     e_win = jnp.concatenate([t_e[:], e_blk], axis=0)   # coarse [2i-1, 2i+2)
 
@@ -242,6 +280,9 @@ def _upleg_kernel(u_ref, e_ref, b_ref, om_ref, pm_ref, u_out_ref,
 
     b_avail = jnp.concatenate([t_b[:], b_blk], axis=0)  # [jb-2, jb+4)
 
+    g12 = (jax.lax.broadcasted_iota(jnp.int32, (1, n1, n2), 1)
+           + jax.lax.broadcasted_iota(jnp.int32, (1, n1, n2), 2))
+
     def halfsweep(win, b_win, base, parity):
         u = win[1:-1]
         up = win[:-2]
@@ -250,13 +291,11 @@ def _upleg_kernel(u_ref, e_ref, b_ref, om_ref, pm_ref, u_out_ref,
         off = (dco[0] * up + dco[1] * dn + dco[2] * ym + dco[3] * yp
                + dco[4] * zm + dco[5] * zp)
         upd = om_s * (dinv * b_win - u - off)
-        g0 = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) + base
-        g1 = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
-        g2 = jax.lax.broadcasted_iota(jnp.int32, u.shape, 2)
+        g0 = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1), 0) + base
         valid = (g0 >= 0) & (g0 < n0)
-        checker = ((g0 + g1 + g2) % 2) == 1
+        checker = ((g12 + g0) % 2) == 1
         mask = (checker if parity == 0 else ~checker) & valid
-        return jnp.where(mask, u + upd, u) * valid.astype(u.dtype)
+        return jnp.where(mask, u + upd, jnp.where(valid, u, 0.0))
 
     w0_ = jnp.concatenate([t_pc[:], pc_new], axis=0)    # [jb-2, jb+4)
     s_r = halfsweep(w0_, b_avail[1:5], jb - 1, 0)       # [jb-1, jb+3)
@@ -328,64 +367,3 @@ def upleg_wavefront_3d(u, e, b, omega_c, omega_s, stencil_vals, dinv,
         interpret=interpret,
     )(u, e, b, om, pmat)
     return out[:n0]
-
-
-def downleg_wavefront_3d(u, b, omegas2, stencil_vals, dinv, taps,
-                         interpret=False):
-    """Fused V-cycle down-leg for a constant 7-point operator:
-    ``u' = RB(RB(u))`` (two red-black sweeps, omegas2 = (w1, w2)) plus
-    ``rc = R(b - A u')`` with full 3D 2:1 restriction (``taps`` = 3-tap
-    weights per axis).  Returns ``(u', rc)``."""
-    n0, n1, n2 = u.shape
-    B = _B
-    nb = pl.cdiv(n0, B)
-    nc0, nc1, nc2 = (n0 - 1) // 2, (n1 - 1) // 2, (n2 - 1) // 2
-    B0c = B // 2
-    nbc_blk = pl.cdiv(nc0, B0c)
-    grid = (max(nb + 1, nbc_blk + 2),)
-    rmat = jnp.asarray(restrict_lane_matrix(taps[2]))
-    kernel = functools.partial(
-        _wavefront_kernel, c=stencil_vals, dinv=dinv, taps0=tuple(taps[0]),
-        taps1=tuple(taps[1]), n0=n0, n1=n1, n2=n2, nb=nb, nbc_blk=nbc_blk)
-    om = jnp.stack([jnp.asarray(omegas2[0], jnp.float32),
-                    jnp.asarray(omegas2[1], jnp.float32)]).reshape(1, 2)
-    plane = (n1, n2)
-    scratch = [
-        pltpu.VMEM((2,) + plane, jnp.float32),   # t_u0
-        pltpu.VMEM((2,) + plane, jnp.float32),   # t_1r
-        pltpu.VMEM((2,) + plane, jnp.float32),   # t_1b
-        pltpu.VMEM((2,) + plane, jnp.float32),   # t_2r
-        pltpu.VMEM((2,) + plane, jnp.float32),   # t_2b
-        pltpu.VMEM((5,) + plane, jnp.float32),   # t_b
-        pltpu.VMEM((3,) + plane, jnp.float32),   # t_r
-    ]
-    u_out, rc = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((B, n1, n2),
-                         lambda i: (jnp.minimum(i, nb - 1), 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, n1, n2),
-                         lambda i: (jnp.minimum(i, nb - 1), 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((384, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((B, n1, n2),
-                         lambda i: (jnp.clip(i - 1, 0, nb - 1), 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B0c, nc1, nc2),
-                         lambda i: (jnp.clip(i - 2, 0, nbc_blk - 1), 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nb * B, n1, n2), u.dtype),
-            jax.ShapeDtypeStruct((nbc_blk * B0c, nc1, nc2), u.dtype),
-        ],
-        scratch_shapes=scratch,
-        interpret=interpret,
-    )(u, b, om, rmat)
-    return u_out[:n0], rc[:nc0]

@@ -21,24 +21,29 @@ def test_wavefront_downleg_matches_leg3d(shape):
     b = jnp.asarray(rng.standard_normal(shape), jnp.float32)
     om1, om2 = 1.15, 0.9
 
-    # reference: two separate fused sweeps + residual/restrict pass
+    # reference: two separate fused sweeps, then the residual by hand
     u_ref = leg3d.fused_rbgs_sweep_3d2(u, b, jnp.float32(om1), STENCIL,
                                        DINV, interpret=True)
     u_ref = leg3d.fused_rbgs_sweep_3d2(u_ref, b, jnp.float32(om2), STENCIL,
                                        DINV, interpret=True)
-    rc_ref = leg3d.residual_restrict_3d(u_ref, b, STENCIL, TAPS,
-                                        interpret=True)
+    pad = jnp.pad(u_ref, 1)
+    au = (STENCIL[0] * u_ref
+          + STENCIL[1] * pad[:-2, 1:-1, 1:-1]
+          + STENCIL[2] * pad[2:, 1:-1, 1:-1]
+          + STENCIL[3] * pad[1:-1, :-2, 1:-1]
+          + STENCIL[4] * pad[1:-1, 2:, 1:-1]
+          + STENCIL[5] * pad[1:-1, 1:-1, :-2]
+          + STENCIL[6] * pad[1:-1, 1:-1, 2:])
+    r_ref = b - au
 
-    u_wf, rc_wf = wavefront3d.downleg_wavefront_3d(
-        u, b, (om1, om2), STENCIL, DINV, TAPS, interpret=True)
+    u_wf, r_wf = wavefront3d.downleg_wavefront_3d(
+        u, b, (om1, om2), STENCIL, DINV, interpret=True)
 
     assert u_wf.shape == u.shape
     np.testing.assert_allclose(np.asarray(u_wf), np.asarray(u_ref),
                                rtol=0, atol=2e-5)
-    nc = tuple((s - 1) // 2 for s in shape)
-    assert rc_wf.shape == nc
-    np.testing.assert_allclose(np.asarray(rc_wf),
-                               np.asarray(rc_ref)[:nc[0], :nc[1], :nc[2]],
+    assert r_wf.shape == u.shape
+    np.testing.assert_allclose(np.asarray(r_wf), np.asarray(r_ref),
                                rtol=0, atol=2e-5)
 
 
