@@ -1036,6 +1036,9 @@ class _Lowering:
         if len(plan["sweeps"]) != 2 or \
                 plan["partitioning"] is not part.RedBlack:
             return None
+        taps = self._axis_taps_3d(plan["restriction"])
+        if taps is None:
+            return None
         x = self.eval_function(plan["base"])
         if len(x) != 1 or not wavefront3d.supports(x[0]):
             return None
@@ -1044,13 +1047,23 @@ class _Lowering:
         vals = plan["sig"][1]
         omegas = [self.omegas[c.global_id]
                   for c in reversed(plan["sweeps"])]
-        u_s, r = wavefront3d.downleg_wavefront_3d(
-            u, b[0], (omegas[0], omegas[1]), vals, 1.0 / vals[0],
+        u_s, rc_half = wavefront3d.downleg_wavefront_3d(
+            u, b[0], (omegas[0], omegas[1]), vals, 1.0 / vals[0], taps,
             interpret=pallas_interpret())
-        # the restriction stays outside the kernel (scoped-VMEM budget):
-        # the generic separable apply contracts r on the MXU
-        rc = self.apply_operator(plan["restriction"], (r,))
-        return ((u_s,), rc)
+        # the lane (axis 2) contraction stays outside the kernel
+        # (scoped-VMEM budget): one dense banded MXU contraction
+        n2 = u.shape[2]
+        key = ("wf3d_lane_r", n2, taps[2])
+        if key not in self.memo:
+            nc2 = (n2 - 1) // 2
+            R2 = np.zeros((n2, nc2), np.float32)
+            for jc in range(nc2):
+                for d in range(3):
+                    R2[2 * jc + d, jc] = taps[2][d]
+            self.memo[key] = jnp.asarray(R2)
+        rc = jnp.einsum('ijk,kl->ijl', rc_half.astype(jnp.float32),
+                        self.memo[key]).astype(u.dtype)
+        return ((u_s,), (rc,))
 
     def _run_post_fusion_3d(self, plan):
         """const7 up-leg: prolong + correct + 1 RB post-sweep as ONE

@@ -24,10 +24,12 @@ Down-leg stage plane ranges at input block j (planes [4j, 4j+4)):
   residual      [4j-5, 4j-1)        r ring emits    r block j-2
 Outputs are written with lagging index maps; drain steps keep the last
 real block in the (revisited) output buffer via pl.when-guarded stores.
-The down-leg emits the FULL residual; the separable restriction runs
-outside (keeping it in-kernel cost the 384x128 tap matrix plus ~1.5 MB
-of interpolation temporaries — ~100 KB over the 16 MB scoped-VMEM limit
-at 255^3).
+The down-leg decimates the residual over axes 0/1 in-kernel and emits
+the (nc0, nc1, n2) half-restricted array; the lane contraction runs
+outside on the MXU.  (Both a full in-kernel restriction — 384x128 tap
+matrix + ~1.5 MB of interpolation temporaries — and a full-residual
+output — 2 MB more double-buffered VMEM — exceeded the 16 MB
+scoped-VMEM limit at 255^3 by ~0.1-0.6 MB.)
 
 Reference counterpart: the generated C++ solver's loop nest per sweep
 (ExaStencils treats 3D like 2D); this fusion has no reference
@@ -61,9 +63,9 @@ def _inplane_shifts(v):
     return ym, yp, zm, zp
 
 
-def _wavefront_kernel(u_ref, b_ref, om_ref, u_out_ref, r_out_ref,
+def _wavefront_kernel(u_ref, b_ref, om_ref, u_out_ref, rc_out_ref,
                       t_u0, t_1r, t_1b, t_2r, t_2b, t_b, t_r, *,
-                      c, dinv, n0, n1, n2, nb):
+                      c, dinv, taps0, taps1, n0, n1, n2, nb, nbc):
     i = pl.program_id(0)
     B = _B
     cc, cxm, cxp, cym, cyp, czm, czp = c
@@ -142,15 +144,35 @@ def _wavefront_kernel(u_ref, b_ref, om_ref, u_out_ref, r_out_ref,
     r_new = jnp.where(valid_r, b_avail[0:4] - au, 0.0)
     r_win = jnp.concatenate([t_r[:], r_new], axis=0)      # [jb-8, jb-1)
 
-    # ---- guarded stores (drain steps keep the previous real content).
-    # The residual lags 8 planes: r block i-2 = r_win[0:4].
+    # ---- axis-0 + axis-1 decimation of the residual IN-KERNEL (cheap:
+    # ~0.8 MB of temporaries); the lane (axis 2) contraction runs outside
+    # on the MXU — a full-residual output cost 2 MB of double-buffered
+    # VMEM and a 2x67 MB HBM round trip.  Coarse block i-2 (planes
+    # 2(i-2), 2(i-2)+1) comes from fine planes [4(i-2), 4(i-2)+4] =
+    # r_win[0:5].
+    rf = r_win[0:5]
+    w0m, w00, w0p = taps0
+    ra = jnp.stack([
+        w0m * rf[0] + w00 * rf[1] + w0p * rf[2],
+        w0m * rf[2] + w00 * rf[3] + w0p * rf[4],
+    ])                                                    # (2, n1, n2)
+    w1m, w10, w1p = taps1
+    nc1 = (n1 - 1) // 2
+    body = ra[:, :2 * nc1].reshape(2, nc1, 2, n2)
+    rev = body[:, :, 0]
+    rod = body[:, :, 1]
+    rev2 = jnp.concatenate([rev[:, 1:], ra[:, 2 * nc1:2 * nc1 + 1]],
+                           axis=1)
+    rb = w1m * rev + w10 * rod + w1p * rev2               # (2, nc1, n2)
+
+    # ---- guarded stores (drain steps keep the previous real content)
     @pl.when(jnp.logical_and(i >= 1, i <= nb))
     def _store_u():
         u_out_ref[:] = s2b.astype(u_out_ref.dtype)
 
-    @pl.when(jnp.logical_and(i >= 2, i <= nb + 1))
-    def _store_r():
-        r_out_ref[:] = r_win[0:4].astype(r_out_ref.dtype)
+    @pl.when(jnp.logical_and(i >= 2, i <= nbc + 1))
+    def _store_rc():
+        rc_out_ref[:] = rb.astype(rc_out_ref.dtype)
 
     # ---- roll the tails
     t_u0[:] = w0[-2:]
@@ -172,19 +194,24 @@ def supports(u) -> bool:
             and u.shape[1] * u.shape[2] * 4 * 28 <= 14 * 2 ** 20)
 
 
-def downleg_wavefront_3d(u, b, omegas2, stencil_vals, dinv,
+def downleg_wavefront_3d(u, b, omegas2, stencil_vals, dinv, taps,
                          interpret=False):
     """Fused V-cycle down-leg for a constant 7-point operator:
     ``u' = RB(RB(u))`` (two red-black sweeps, omegas2 = (w1, w2)) plus
-    the residual ``r = b - A u'`` in one wavefront pass.  Returns
-    ``(u', r)``; the caller applies the (separable) restriction to r."""
+    the residual with axis-0/axis-1 decimation applied in-kernel.
+    Returns ``(u', rc_half)`` with ``rc_half`` of shape (nc0, nc1, n2) —
+    the caller contracts the lane axis (e.g.
+    transfer.restrict_lane_matrix on the MXU)."""
     n0, n1, n2 = u.shape
     B = _B
     nb = pl.cdiv(n0, B)
-    grid = (nb + 2,)
+    nc0, nc1 = (n0 - 1) // 2, (n1 - 1) // 2
+    nbc = pl.cdiv(nc0, 2)
+    grid = (max(nb + 1, nbc + 2),)
     kernel = functools.partial(
         _wavefront_kernel, c=stencil_vals, dinv=dinv,
-        n0=n0, n1=n1, n2=n2, nb=nb)
+        taps0=tuple(taps[0]), taps1=tuple(taps[1]),
+        n0=n0, n1=n1, n2=n2, nb=nb, nbc=nbc)
     om = jnp.stack([jnp.asarray(omegas2[0], jnp.float32),
                     jnp.asarray(omegas2[1], jnp.float32)]).reshape(1, 2)
     plane = (n1, n2)
@@ -197,7 +224,7 @@ def downleg_wavefront_3d(u, b, omegas2, stencil_vals, dinv,
         pltpu.VMEM((5,) + plane, jnp.float32),   # t_b
         pltpu.VMEM((3,) + plane, jnp.float32),   # t_r
     ]
-    u_out, r_out = pl.pallas_call(
+    u_out, rc_half = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -213,18 +240,18 @@ def downleg_wavefront_3d(u, b, omegas2, stencil_vals, dinv,
             pl.BlockSpec((B, n1, n2),
                          lambda i: (jnp.clip(i - 1, 0, nb - 1), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, n1, n2),
-                         lambda i: (jnp.clip(i - 2, 0, nb - 1), 0, 0),
+            pl.BlockSpec((2, nc1, n2),
+                         lambda i: (jnp.clip(i - 2, 0, nbc - 1), 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nb * B, n1, n2), u.dtype),
-            jax.ShapeDtypeStruct((nb * B, n1, n2), u.dtype),
+            jax.ShapeDtypeStruct((nbc * 2, nc1, n2), u.dtype),
         ],
         scratch_shapes=scratch,
         interpret=interpret,
     )(u, b, om)
-    return u_out[:n0], r_out[:n0]
+    return u_out[:n0], rc_half[:nc0]
 
 
 def _upleg_kernel(u_ref, e_ref, b_ref, om_ref, pm_ref, u_out_ref,

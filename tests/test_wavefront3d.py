@@ -34,16 +34,24 @@ def test_wavefront_downleg_matches_leg3d(shape):
           + STENCIL[4] * pad[1:-1, 2:, 1:-1]
           + STENCIL[5] * pad[1:-1, 1:-1, :-2]
           + STENCIL[6] * pad[1:-1, 1:-1, 2:])
-    r_ref = b - au
+    r_ref = np.asarray(b - au)
+    # half-restriction reference: 3-tap decimation over axes 0 and 1
+    nc = tuple((s - 1) // 2 for s in shape)
+    t = TAPS[0]
+    ra = (t[0] * r_ref[0:2 * nc[0]:2] + t[1] * r_ref[1:2 * nc[0] + 1:2]
+          + t[2] * r_ref[2:2 * nc[0] + 2:2])
+    t = TAPS[1]
+    rc_ref = (t[0] * ra[:, 0:2 * nc[1]:2] + t[1] * ra[:, 1:2 * nc[1] + 1:2]
+              + t[2] * ra[:, 2:2 * nc[1] + 2:2])
 
-    u_wf, r_wf = wavefront3d.downleg_wavefront_3d(
-        u, b, (om1, om2), STENCIL, DINV, interpret=True)
+    u_wf, rc_half = wavefront3d.downleg_wavefront_3d(
+        u, b, (om1, om2), STENCIL, DINV, TAPS, interpret=True)
 
     assert u_wf.shape == u.shape
     np.testing.assert_allclose(np.asarray(u_wf), np.asarray(u_ref),
                                rtol=0, atol=2e-5)
-    assert r_wf.shape == u.shape
-    np.testing.assert_allclose(np.asarray(r_wf), np.asarray(r_ref),
+    assert rc_half.shape == (nc[0], nc[1], shape[2])
+    np.testing.assert_allclose(np.asarray(rc_half), rc_ref,
                                rtol=0, atol=2e-5)
 
 
