@@ -110,16 +110,38 @@ def _wavefront_kernel(u_ref, b_ref, om_ref, u_out_ref, rc_out_ref,
 
     def halfsweep(win, b_win, base, parity, omega):
         """win: (B+2, n1, n2) planes [base-1, base+B+1); returns the
-        updated interior planes [base, base+B)."""
-        u = win[1:-1]
-        up = win[:-2]
-        dn = win[2:]
-        ym, yp, zm, zp = _inplane_shifts(u)
-        off = (dco[0] * up + dco[1] * dn + dco[2] * ym + dco[3] * yp
-               + dco[4] * zm + dco[5] * zp)
-        upd = omega * (dinv * b_win - u - off)
+        updated interior planes [base, base+B).  Rows are processed in
+        two overlapping halves so every transient is half-sized
+        (scoped-VMEM pressure at 255^2 planes)."""
         mask, valid = stage_mask(base, parity)
-        return jnp.where(mask, u + upd, jnp.where(valid, u, 0.0))
+        n1h = (n1 + 1) // 2
+
+        def rows(r0, r1):
+            lo = max(r0 - 1, 0)
+            hi = min(r1 + 1, n1)
+            w = win[:, lo:hi]
+            u = w[1:-1]
+            up = w[:-2]
+            dn = w[2:]
+            P, R, _ = u.shape
+            z1 = jnp.zeros((P, 1, n2), u.dtype)
+            z2 = jnp.zeros((P, R, 1), u.dtype)
+            # zero-padded shifts are exact for the KEPT rows: the slab's
+            # edge rows are either true boundaries or overlap rows whose
+            # output is discarded below
+            ym = jnp.concatenate([z1, u[:, :-1]], axis=1)
+            yp = jnp.concatenate([u[:, 1:], z1], axis=1)
+            zm = jnp.concatenate([z2, u[:, :, :-1]], axis=2)
+            zp = jnp.concatenate([u[:, :, 1:], z2], axis=2)
+            off = (dco[0] * up + dco[1] * dn + dco[2] * ym
+                   + dco[3] * yp + dco[4] * zm + dco[5] * zp)
+            upd = omega * (dinv * b_win[:, lo:hi] - u - off)
+            m = mask[:, lo:hi]
+            v = valid
+            out = jnp.where(m, u + upd, jnp.where(v, u, 0.0))
+            return out[:, r0 - lo:(r0 - lo) + (r1 - r0)]
+
+        return jnp.concatenate([rows(0, n1h), rows(n1h, n1)], axis=1)
 
     om1 = om_ref[0, 0]
     om2 = om_ref[0, 1]
