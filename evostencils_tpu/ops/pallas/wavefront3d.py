@@ -110,38 +110,22 @@ def _wavefront_kernel(u_ref, b_ref, om_ref, u_out_ref, rc_out_ref,
 
     def halfsweep(win, b_win, base, parity, omega):
         """win: (B+2, n1, n2) planes [base-1, base+B+1); returns the
-        updated interior planes [base, base+B).  Rows are processed in
-        two overlapping halves so every transient is half-sized
-        (scoped-VMEM pressure at 255^2 planes)."""
+        updated interior planes [base, base+B).  The off-diagonal sum is
+        accumulated SEQUENTIALLY so each shifted copy dies after use —
+        the one-expression form kept ~6 plane-slabs live at once and
+        pushed scoped VMEM over the 16 MB limit at 255^2 planes."""
+        u = win[1:-1]
+        off = dco[0] * win[:-2]
+        off = off + dco[1] * win[2:]
+        z1 = jnp.zeros((B, 1, n2), u.dtype)
+        z2 = jnp.zeros((B, n1, 1), u.dtype)
+        off = off + dco[2] * jnp.concatenate([z1, u[:, :-1]], axis=1)
+        off = off + dco[3] * jnp.concatenate([u[:, 1:], z1], axis=1)
+        off = off + dco[4] * jnp.concatenate([z2, u[:, :, :-1]], axis=2)
+        off = off + dco[5] * jnp.concatenate([u[:, :, 1:], z2], axis=2)
+        upd = omega * (dinv * b_win - u - off)
         mask, valid = stage_mask(base, parity)
-        n1h = (n1 + 1) // 2
-
-        def rows(r0, r1):
-            lo = max(r0 - 1, 0)
-            hi = min(r1 + 1, n1)
-            w = win[:, lo:hi]
-            u = w[1:-1]
-            up = w[:-2]
-            dn = w[2:]
-            P, R, _ = u.shape
-            z1 = jnp.zeros((P, 1, n2), u.dtype)
-            z2 = jnp.zeros((P, R, 1), u.dtype)
-            # zero-padded shifts are exact for the KEPT rows: the slab's
-            # edge rows are either true boundaries or overlap rows whose
-            # output is discarded below
-            ym = jnp.concatenate([z1, u[:, :-1]], axis=1)
-            yp = jnp.concatenate([u[:, 1:], z1], axis=1)
-            zm = jnp.concatenate([z2, u[:, :, :-1]], axis=2)
-            zp = jnp.concatenate([u[:, :, 1:], z2], axis=2)
-            off = (dco[0] * up + dco[1] * dn + dco[2] * ym
-                   + dco[3] * yp + dco[4] * zm + dco[5] * zp)
-            upd = omega * (dinv * b_win[:, lo:hi] - u - off)
-            m = mask[:, lo:hi]
-            v = valid
-            out = jnp.where(m, u + upd, jnp.where(v, u, 0.0))
-            return out[:, r0 - lo:(r0 - lo) + (r1 - r0)]
-
-        return jnp.concatenate([rows(0, n1h), rows(n1h, n1)], axis=1)
+        return jnp.where(mask, u + upd, jnp.where(valid, u, 0.0))
 
     om1 = om_ref[0, 0]
     om2 = om_ref[0, 1]
@@ -155,13 +139,16 @@ def _wavefront_kernel(u_ref, b_ref, om_ref, u_out_ref, rc_out_ref,
     s2b = halfsweep(w3, b_avail[1:5], jb - 4, 1, om2)     # [jb-4, jb)
     w4 = jnp.concatenate([t_2b[:], s2b], axis=0)          # [jb-6, jb)
 
-    # residual planes [jb-5, jb-1)
+    # residual planes [jb-5, jb-1); sequential accumulation as above
     u_c = w4[1:-1]
-    up = w4[:-2]
-    dn = w4[2:]
-    ym, yp, zm, zp = _inplane_shifts(u_c)
-    au = (cc * u_c + cxm * up + cxp * dn + cym * ym + cyp * yp
-          + czm * zm + czp * zp)
+    au = cc * u_c + cxm * w4[:-2]
+    au = au + cxp * w4[2:]
+    z1 = jnp.zeros((B, 1, n2), u_c.dtype)
+    z2 = jnp.zeros((B, n1, 1), u_c.dtype)
+    au = au + cym * jnp.concatenate([z1, u_c[:, :-1]], axis=1)
+    au = au + cyp * jnp.concatenate([u_c[:, 1:], z1], axis=1)
+    au = au + czm * jnp.concatenate([z2, u_c[:, :, :-1]], axis=2)
+    au = au + czp * jnp.concatenate([u_c[:, :, 1:], z2], axis=2)
     _, valid_r = plane_valid(jb - 5)
     r_new = jnp.where(valid_r, b_avail[0:4] - au, 0.0)
     r_win = jnp.concatenate([t_r[:], r_new], axis=0)      # [jb-8, jb-1)
