@@ -48,7 +48,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .transfer import _lane_prolong_block, prolong_lane_matrices
 
-_B = 4          # planes per step (the stage lags align with B=4 blocks)
+_B = 2          # planes per step (lag 4 = 2 blocks; B=4 windows
+                # exceeded the 16 MB scoped-VMEM limit at 255^2 planes)
 
 
 def _inplane_shifts(v):
@@ -130,13 +131,13 @@ def _wavefront_kernel(u_ref, b_ref, om_ref, u_out_ref, rc_out_ref,
     om1 = om_ref[0, 0]
     om2 = om_ref[0, 1]
     w0 = jnp.concatenate([t_u0[:], u0_blk], axis=0)       # [jb-2, jb+4)
-    s1r = halfsweep(w0, b_avail[4:8], jb - 1, 0, om1)     # [jb-1, jb+3)
+    s1r = halfsweep(w0, b_avail[4:4 + B], jb - 1, 0, om1)
     w1 = jnp.concatenate([t_1r[:], s1r], axis=0)          # [jb-3, jb+3)
-    s1b = halfsweep(w1, b_avail[3:7], jb - 2, 1, om1)     # [jb-2, jb+2)
+    s1b = halfsweep(w1, b_avail[3:3 + B], jb - 2, 1, om1)
     w2 = jnp.concatenate([t_1b[:], s1b], axis=0)          # [jb-4, jb+2)
-    s2r = halfsweep(w2, b_avail[2:6], jb - 3, 0, om2)     # [jb-3, jb+1)
+    s2r = halfsweep(w2, b_avail[2:2 + B], jb - 3, 0, om2)
     w3 = jnp.concatenate([t_2r[:], s2r], axis=0)          # [jb-5, jb+1)
-    s2b = halfsweep(w3, b_avail[1:5], jb - 4, 1, om2)     # [jb-4, jb)
+    s2b = halfsweep(w3, b_avail[1:1 + B], jb - 4, 1, om2)
     w4 = jnp.concatenate([t_2b[:], s2b], axis=0)          # [jb-6, jb)
 
     # residual planes [jb-5, jb-1); sequential accumulation as above
@@ -150,7 +151,7 @@ def _wavefront_kernel(u_ref, b_ref, om_ref, u_out_ref, rc_out_ref,
     au = au + czm * jnp.concatenate([z2, u_c[:, :, :-1]], axis=2)
     au = au + czp * jnp.concatenate([u_c[:, :, 1:], z2], axis=2)
     _, valid_r = plane_valid(jb - 5)
-    r_new = jnp.where(valid_r, b_avail[0:4] - au, 0.0)
+    r_new = jnp.where(valid_r, b_avail[0:B] - au, 0.0)
     r_win = jnp.concatenate([t_r[:], r_new], axis=0)      # [jb-8, jb-1)
 
     # ---- axis-0 + axis-1 decimation of the residual IN-KERNEL (cheap:
@@ -174,12 +175,15 @@ def _wavefront_kernel(u_ref, b_ref, om_ref, u_out_ref, rc_out_ref,
                            axis=1)
     rb = w1m * rev + w10 * rod + w1p * rev2               # (2, nc1, n2)
 
-    # ---- guarded stores (drain steps keep the previous real content)
-    @pl.when(jnp.logical_and(i >= 1, i <= nb))
+    # ---- guarded stores (drain steps keep the previous real content).
+    # At B=2 the smoothed u lags TWO blocks; rc block m covers fine
+    # planes [4m, 4m+4], complete only on every other step (i even).
+    @pl.when(jnp.logical_and(i >= 2, i <= nb + 1))
     def _store_u():
         u_out_ref[:] = s2b.astype(u_out_ref.dtype)
 
-    @pl.when(jnp.logical_and(i >= 2, i <= nbc + 1))
+    @pl.when(jnp.logical_and(jnp.logical_and(i >= 4, (i % 2) == 0),
+                             i <= 2 * nbc + 2))
     def _store_rc():
         rc_out_ref[:] = rb.astype(rc_out_ref.dtype)
 
@@ -216,7 +220,7 @@ def downleg_wavefront_3d(u, b, omegas2, stencil_vals, dinv, taps,
     nb = pl.cdiv(n0, B)
     nc0, nc1 = (n0 - 1) // 2, (n1 - 1) // 2
     nbc = pl.cdiv(nc0, 2)
-    grid = (max(nb + 1, nbc + 2),)
+    grid = (max(nb + 2, 2 * nbc + 3),)
     kernel = functools.partial(
         _wavefront_kernel, c=stencil_vals, dinv=dinv,
         taps0=tuple(taps[0]), taps1=tuple(taps[1]),
@@ -247,10 +251,11 @@ def downleg_wavefront_3d(u, b, omegas2, stencil_vals, dinv, taps,
         ],
         out_specs=[
             pl.BlockSpec((B, n1, n2),
-                         lambda i: (jnp.clip(i - 1, 0, nb - 1), 0, 0),
+                         lambda i: (jnp.clip(i - 2, 0, nb - 1), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, nc1, n2),
-                         lambda i: (jnp.clip(i - 2, 0, nbc - 1), 0, 0),
+                         lambda i: (jnp.clip((i - 4) // 2, 0, nbc - 1),
+                                    0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -264,11 +269,10 @@ def downleg_wavefront_3d(u, b, omegas2, stencil_vals, dinv, taps,
 
 
 def _upleg_kernel(u_ref, e_ref, b_ref, om_ref, pm_ref, u_out_ref,
-                  t_e, t_pc, t_sr, t_out, t_b, *,
+                  t_e, t_pc, t_sr, t_b, *,
                   c, dinv, taps0, taps1, n0, n1, n2, nc0, nb):
-    """Fine block pipeline: prolong+correct (lag 0), red half-sweep
-    (lag 1), black half-sweep (lag 2); output block i-1 assembled from
-    the black tail ring."""
+    """Fine block pipeline (B=2): prolong+correct (lag 0), red half-sweep
+    (lag 1), black half-sweep (lag 2 planes = one block)."""
     i = pl.program_id(0)
     B = _B
     cc, cxm, cxp, cym, cyp, czm, czp = c
@@ -277,7 +281,7 @@ def _upleg_kernel(u_ref, e_ref, b_ref, om_ref, pm_ref, u_out_ref,
 
     @pl.when(i == 0)
     def _init():
-        for t in (t_e, t_pc, t_sr, t_out, t_b):
+        for t in (t_e, t_pc, t_sr, t_b):
             t[:] = jnp.zeros_like(t)
 
     jb = i * B
@@ -285,47 +289,48 @@ def _upleg_kernel(u_ref, e_ref, b_ref, om_ref, pm_ref, u_out_ref,
     valid_in = g0_in < n0
     u_blk = jnp.where(valid_in, u_ref[:].astype(jnp.float32), 0.0)
     b_blk = b_ref[:].astype(jnp.float32)
-    gc = jax.lax.broadcasted_iota(jnp.int32, (2, 1, 1), 0) + 2 * i
+    gc = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1), 0) + i
     e_blk = jnp.where(gc < nc0, e_ref[:].astype(jnp.float32), 0.0)
-    e_win = jnp.concatenate([t_e[:], e_blk], axis=0)   # coarse [2i-1, 2i+2)
+    e_win = jnp.concatenate([t_e[:], e_blk], axis=0)   # coarse [i-1, i+1)
 
-    # ---- prolong + correct: fine planes [jb, jb+4)
+    # ---- prolong + correct: fine planes [jb, jb+2), ic = i
     # axis-0: fine 2ic <- w0p*e[ic-1] + w0m*e[ic]; fine 2ic+1 <- w00*e[ic]
     w0m, w00, w0p = taps0
     a0 = jnp.stack([
-        w0p * e_win[0] + w0m * e_win[1],    # fine 4i   (ic = 2i)
-        w00 * e_win[1],                     # fine 4i+1
-        w0p * e_win[1] + w0m * e_win[2],    # fine 4i+2 (ic = 2i+1)
-        w00 * e_win[2],                     # fine 4i+3
-    ])                                                  # (4, nc1, nc2)
+        w0p * e_win[0] + w0m * e_win[1],    # fine 2i
+        w00 * e_win[1],                     # fine 2i+1
+    ])                                                  # (2, nc1, nc2)
     # axis-1 (sublane) interpolation, full extent
     w1m, w10, w1p = taps1
     nc1 = a0.shape[1]
-    zrow = jnp.zeros((4, 1, a0.shape[2]), a0.dtype)
+    zrow = jnp.zeros((B, 1, a0.shape[2]), a0.dtype)
     prev = jnp.concatenate([zrow, a0[:, :-1]], axis=1)  # e[jc-1]
     revn = w1p * prev + w1m * a0                        # fine row 2jc
     rodd = w10 * a0                                     # fine row 2jc+1
-    a1 = jnp.stack([revn, rodd], axis=2).reshape(4, 2 * nc1, -1)
+    a1 = jnp.stack([revn, rodd], axis=2).reshape(B, 2 * nc1, -1)
     # last fine row 2*nc1 only sees e[nc1-1] from below
     a1 = jnp.concatenate([a1, w1p * a0[:, nc1 - 1:nc1]], axis=1)
     corr = jnp.stack([_lane_prolong_block(a1[p], pm_ref, n2)
-                      for p in range(4)])               # (4, n1, n2)
+                      for p in range(B)])               # (B, n1, n2)
     om_c = om_ref[0, 0]
     om_s = om_ref[0, 1]
     pc_new = jnp.where(valid_in, u_blk + om_c * corr, 0.0)
 
-    b_avail = jnp.concatenate([t_b[:], b_blk], axis=0)  # [jb-2, jb+4)
+    b_avail = jnp.concatenate([t_b[:], b_blk], axis=0)  # [jb-2, jb+2)
 
     g12 = (jax.lax.broadcasted_iota(jnp.int32, (1, n1, n2), 1)
            + jax.lax.broadcasted_iota(jnp.int32, (1, n1, n2), 2))
 
     def halfsweep(win, b_win, base, parity):
         u = win[1:-1]
-        up = win[:-2]
-        dn = win[2:]
-        ym, yp, zm, zp = _inplane_shifts(u)
-        off = (dco[0] * up + dco[1] * dn + dco[2] * ym + dco[3] * yp
-               + dco[4] * zm + dco[5] * zp)
+        off = dco[0] * win[:-2]
+        off = off + dco[1] * win[2:]
+        z1 = jnp.zeros((B, 1, n2), u.dtype)
+        z2 = jnp.zeros((B, n1, 1), u.dtype)
+        off = off + dco[2] * jnp.concatenate([z1, u[:, :-1]], axis=1)
+        off = off + dco[3] * jnp.concatenate([u[:, 1:], z1], axis=1)
+        off = off + dco[4] * jnp.concatenate([z2, u[:, :, :-1]], axis=2)
+        off = off + dco[5] * jnp.concatenate([u[:, :, 1:], z2], axis=2)
         upd = om_s * (dinv * b_win - u - off)
         g0 = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1), 0) + base
         valid = (g0 >= 0) & (g0 < n0)
@@ -333,21 +338,18 @@ def _upleg_kernel(u_ref, e_ref, b_ref, om_ref, pm_ref, u_out_ref,
         mask = (checker if parity == 0 else ~checker) & valid
         return jnp.where(mask, u + upd, jnp.where(valid, u, 0.0))
 
-    w0_ = jnp.concatenate([t_pc[:], pc_new], axis=0)    # [jb-2, jb+4)
-    s_r = halfsweep(w0_, b_avail[1:5], jb - 1, 0)       # [jb-1, jb+3)
-    w1_ = jnp.concatenate([t_sr[:], s_r], axis=0)       # [jb-3, jb+3)
-    s_b = halfsweep(w1_, b_avail[0:4], jb - 2, 1)       # [jb-2, jb+2)
-
-    out_blk = jnp.concatenate([t_out[:], s_b[:2]], axis=0)  # [jb-4, jb)
+    w0_ = jnp.concatenate([t_pc[:], pc_new], axis=0)    # [jb-2, jb+2)
+    s_r = halfsweep(w0_, b_avail[1:1 + B], jb - 1, 0)   # [jb-1, jb+1)
+    w1_ = jnp.concatenate([t_sr[:], s_r], axis=0)       # [jb-3, jb+1)
+    s_b = halfsweep(w1_, b_avail[0:B], jb - 2, 1)       # [jb-2, jb)
 
     @pl.when(jnp.logical_and(i >= 1, i <= nb))
     def _store_u():
-        u_out_ref[:] = out_blk.astype(u_out_ref.dtype)
+        u_out_ref[:] = s_b.astype(u_out_ref.dtype)
 
     t_e[:] = e_win[-1:]
     t_pc[:] = w0_[-2:]
     t_sr[:] = w1_[-2:]
-    t_out[:] = s_b[-2:]
     t_b[:] = b_avail[-2:]
 
 
@@ -362,7 +364,6 @@ def upleg_wavefront_3d(u, e, b, omega_c, omega_s, stencil_vals, dinv,
     assert (n0, n1, n2) == (2 * nc0 + 1, 2 * nc1 + 1, 2 * nc2 + 1)
     B = _B
     nb = pl.cdiv(n0, B)
-    nbc = pl.cdiv(nc0, 2)
     grid = (nb + 1,)
     pmat = jnp.asarray(prolong_lane_matrices(taps[2]))
     kernel = functools.partial(
@@ -375,7 +376,6 @@ def upleg_wavefront_3d(u, e, b, omega_c, omega_s, stencil_vals, dinv,
         pltpu.VMEM((1, nc1, nc2), jnp.float32),   # t_e
         pltpu.VMEM((2,) + plane, jnp.float32),    # t_pc
         pltpu.VMEM((2,) + plane, jnp.float32),    # t_sr
-        pltpu.VMEM((2,) + plane, jnp.float32),    # t_out
         pltpu.VMEM((2,) + plane, jnp.float32),    # t_b
     ]
     out = pl.pallas_call(
@@ -385,8 +385,8 @@ def upleg_wavefront_3d(u, e, b, omega_c, omega_s, stencil_vals, dinv,
             pl.BlockSpec((B, n1, n2),
                          lambda i: (jnp.minimum(i, nb - 1), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, nc1, nc2),
-                         lambda i: (jnp.minimum(i, nbc - 1), 0, 0),
+            pl.BlockSpec((1, nc1, nc2),
+                         lambda i: (jnp.minimum(i, nc0 - 1), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, n1, n2),
                          lambda i: (jnp.minimum(i, nb - 1), 0, 0),
