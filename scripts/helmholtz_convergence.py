@@ -124,6 +124,9 @@ def main():
                              "residual updates to the TRUE 1e-7 target "
                              "(f32 arithmetic; device-executable)")
     parser.add_argument("--ks", type=float, nargs="*", default=None)
+    parser.add_argument("--no-pallas", action="store_true",
+                        help="generic XLA lowering only (fallback when "
+                             "the fused-kernel compile is pathological)")
     parser.add_argument("--max-level", type=int, default=7)
     parser.add_argument("--min-level", type=int, default=3)
     args = parser.parse_args()
@@ -146,6 +149,9 @@ def main():
 
     from evostencils_tpu.problems.helmholtz import (helmholtz_2d,
                                                     helmholtz_2d_split)
+    if args.no_pallas:
+        from evostencils_tpu.config import config
+        config.use_pallas_kernels = False
 
     for k in (args.ks or (80.0, 160.0, 320.0)):
         if not args.device and not args.df64:
