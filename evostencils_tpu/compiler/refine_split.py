@@ -150,10 +150,26 @@ def reliable_bicgstab_split(matvec: Callable, precond: Callable,
                                _zeros_like, norm)
 
     zero_b = tuple(jnp.zeros_like(f) for f in b)
-    bnorm = _df_norm(tuple(b), zero_b)
     one = jnp.asarray(1.0, jax.tree_util.tree_leaves(b)[0].dtype)
     zero = jnp.zeros_like(one)
-    residual_jit = jax.jit(residual_df)
+
+    @jax.jit
+    def measure(x_hi, x_lo, bt):
+        """TRUE df64 residual + its norm in ONE device program: the
+        eager per-op form cost ~50 s per call through the axon tunnel
+        (each tiny op is a separate dispatch/compile round trip)."""
+        r_hi, r_lo = residual_df(x_hi, x_lo, bt)
+        total = jnp.float32(0.0)
+        for h, l in zip(r_hi, r_lo):
+            s = jnp.max(jnp.abs(h))
+            ss = jnp.where(s > 0, s, 1.0)
+            n2h, n2l = df64.df_norm2_sq((h / ss, l / ss))
+            total = total + ss * ss * (n2h + n2l)
+        return r_hi, jnp.sqrt(total)
+
+    _, bnorm_s = measure(zero_b, zero_b, tuple(b))
+    # norm of b: residual of x = 0 IS b
+    bnorm = float(bnorm_s)
 
     @jax.jit
     def run_segment(x_hi, x_lo, r, r_hat, v, p, rho, alpha, omega,
@@ -213,8 +229,8 @@ def reliable_bicgstab_split(matvec: Callable, precond: Callable,
         (x_hi, x_lo, r, v, p, rho, alpha, omega, k_in, res) = run_segment(
             x_hi, x_lo, r, r_hat, v, p, rho, alpha, omega, limit)
         total_k += int(k_in)
-        r_hi, r_lo = residual_jit(x_hi, x_lo, tuple(b))
-        rel = _df_norm(r_hi, r_lo) / bnorm
+        r_hi, rnorm = measure(x_hi, x_lo, tuple(b))
+        rel = float(rnorm) / bnorm
         history.append(rel)
         if verbose:
             print(f"[reliable-bicgstab] k={total_k} true rel={rel:.3e} "
