@@ -237,6 +237,13 @@ def reliable_bicgstab_split(matvec: Callable, precond: Callable,
                   f"recurrence={float(res) / bnorm:.3e}", flush=True)
         if rel <= tol:
             break
+        if not np.isfinite(rel) or (len(history) >= 6
+                                    and rel > 10 * min(history)):
+            # f32 Krylov breakdown / divergence: stop honestly instead of
+            # spinning (a NaN recurrence residual makes run_segment's
+            # while-condition false forever, k_in = 0 — observed on
+            # device before this guard)
+            break
         r = r_hi                       # residual replacement
         if int(k_in) < segment:
             # the recurrence claimed convergence below ``limit`` but the

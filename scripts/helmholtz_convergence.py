@@ -146,6 +146,12 @@ def main():
     print(f"[helmholtz] device: {jax.devices()[0]}", file=sys.stderr)
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.df64:
+        # on TPU, f32 matmuls/convs run on the MXU at bf16-pass precision
+        # by default; the BiCGStab recurrence then sees an operator
+        # accurate to only ~1e-3 and stalls at ~5e-5 before diverging
+        # (measured) — HIGHEST restores true-f32 contractions
+        jax.config.update("jax_default_matmul_precision", "highest")
 
     from evostencils_tpu.problems.helmholtz import (helmholtz_2d,
                                                     helmholtz_2d_split)
