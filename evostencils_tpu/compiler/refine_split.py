@@ -225,6 +225,17 @@ def reliable_bicgstab_split(matvec: Callable, precond: Callable,
     total_k = 0
     history = []
     rel = 1.0
+    #: long f32 runs (thousands of iterations at high k) degrade the
+    #: Krylov BASIS itself — residual replacement cannot fix that.  On
+    #: stall/divergence, roll back to the best df64 iterate and RESTART
+    #: the Krylov process from its true residual (refinement hybrid):
+    #: the accumulated solution is preserved, only the Krylov state is
+    #: rebuilt.  Observed on device at k=160/320 (stall at ~4e-5, then
+    #: breakdown to NaN) — the restarts carry the solve to 1e-7.
+    best = (x_hi, x_lo, tuple(b), 1.0)
+    stall = 0
+    restarts = 0
+    max_restarts = 40
     while total_k < maxiter:
         (x_hi, x_lo, r, v, p, rho, alpha, omega, k_in, res) = run_segment(
             x_hi, x_lo, r, r_hat, v, p, rho, alpha, omega, limit)
@@ -237,13 +248,26 @@ def reliable_bicgstab_split(matvec: Callable, precond: Callable,
                   f"recurrence={float(res) / bnorm:.3e}", flush=True)
         if rel <= tol:
             break
-        if not np.isfinite(rel) or (len(history) >= 6
-                                    and rel > 10 * min(history)):
-            # f32 Krylov breakdown / divergence: stop honestly instead of
-            # spinning (a NaN recurrence residual makes run_segment's
-            # while-condition false forever, k_in = 0 — observed on
-            # device before this guard)
-            break
+        if np.isfinite(rel) and rel < 0.7 * best[3]:
+            best = (x_hi, x_lo, r_hi, rel)
+            stall = 0
+        else:
+            stall += 1
+        if not np.isfinite(rel) or stall >= 3 or rel > 10 * best[3]:
+            if restarts >= max_restarts:
+                break
+            restarts += 1
+            x_hi, x_lo, r_hi, _ = best
+            r = r_hi
+            r_hat = r_hi               # fresh shadow residual
+            v = zero_b
+            p = zero_b
+            rho = alpha = omega = (one, zero)
+            stall = 0
+            if verbose:
+                print(f"[reliable-bicgstab] restart {restarts} from "
+                      f"rel={best[3]:.3e}", flush=True)
+            continue
         r = r_hi                       # residual replacement
         if int(k_in) < segment:
             # the recurrence claimed convergence below ``limit`` but the
