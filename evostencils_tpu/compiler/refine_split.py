@@ -248,12 +248,15 @@ def reliable_bicgstab_split(matvec: Callable, precond: Callable,
                   f"recurrence={float(res) / bnorm:.3e}", flush=True)
         if rel <= tol:
             break
-        if np.isfinite(rel) and rel < 0.7 * best[3]:
+        # "stall" = NO improvement at all across several replacements —
+        # slow geometric convergence (rho^segment close to 1 at doubled
+        # k) must NOT trigger restarts, or the Krylov space never builds
+        if np.isfinite(rel) and rel < 0.995 * best[3]:
             best = (x_hi, x_lo, r_hi, rel)
             stall = 0
         else:
             stall += 1
-        if not np.isfinite(rel) or stall >= 3 or rel > 10 * best[3]:
+        if not np.isfinite(rel) or stall >= 5 or rel > 10 * best[3]:
             if restarts >= max_restarts:
                 break
             restarts += 1
