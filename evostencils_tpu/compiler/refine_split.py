@@ -256,7 +256,11 @@ def reliable_bicgstab_split(matvec: Callable, precond: Callable,
             stall = 0
         else:
             stall += 1
-        if not np.isfinite(rel) or stall >= 5 or rel > 10 * best[3]:
+        # restart ONLY in the small-residual regime (the f32 wall) or on
+        # breakdown: indefinite-Helmholtz BiCGStab has long NATURAL
+        # plateaus early on that a restart would reset forever
+        if not np.isfinite(rel) or rel > 50 * best[3] or \
+                (stall >= 5 and best[3] < 1e-3):
             if restarts >= max_restarts:
                 break
             restarts += 1
