@@ -39,6 +39,12 @@ def main():
     ap.add_argument("--no-prescreen", action="store_true")
     ap.add_argument("--mu", type=int, default=8)
     ap.add_argument("--ckpt-dir", default=CKPT_DIR)
+    ap.add_argument("--seed-reference", action="store_true",
+                    help="seed the initial population with the reference "
+                         "V(2,1) RB 1.15 grammar individual")
+    ap.add_argument("--seeds-from", default=None,
+                    help="checkpoint file whose hall-of-fame/population "
+                         "champions seed the initial population")
     ap.add_argument("--skip-headtohead", action="store_true",
                     help="just advance the campaign; the head-to-head is "
                          "measured separately in a fresh process "
@@ -75,11 +81,32 @@ def main():
                     prescreen=prescreen,
                     checkpoint_directory_path=args.ckpt_dir)
 
+    seeds = []
+    if args.seed_reference:
+        from evostencils_tpu.grammar.seeds import v_cycle_string
+        seeds.append(v_cycle_string(max_level - min_level, max_level,
+                                    smoother="collective_jacobi",
+                                    omega=1.15))
+    if args.seeds_from:
+        from evostencils_tpu.optimization.program import \
+            load_checkpoint_from_file
+        cp = load_checkpoint_from_file(args.seeds_from)
+        cands = list(cp.hof_items or []) + list(cp.population)
+        seen = set()
+        for ind in cands:
+            s = str(ind)
+            if s not in seen:
+                seen.add(s)
+                seeds.append(s)
+            if len(seeds) >= args.mu:
+                break
+
     gens = args.generations
     t_start = time.perf_counter()
     result = opt.evolutionary_optimization(
         mu_=args.mu, lambda_=args.mu, population_initialization_factor=2,
         generations=gens, continue_from_checkpoint=args.resume,
+        initial_individuals=seeds or None,
         verbose=True)
     wall = time.perf_counter() - t_start
     best = result["best_individual"]
