@@ -46,6 +46,11 @@ def main():
     problem = poisson_2d(max_level=10, min_level=5)
     problem.dtype = np.float32
     evaluator = CycleEvaluator(problem)
+    # final-verdict protocol: LARGE chained windows — an 8-iteration
+    # solve is ~2 ms, so S=32 makes the window ~64 ms and the tunnel's
+    # ~10 ms round-trip jitter an 8% effect instead of a 100% one
+    evaluator.timing_window_sizes = (2, 8, 32)
+    evaluator.timing_window_budget_s = 4.0
     pset, _ = generate_primitive_set(
         problem.approximation, problem.rhs_entity, problem.level_contexts,
         problem.coarsest_operator)
