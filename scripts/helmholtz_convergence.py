@@ -124,6 +124,8 @@ def main():
                              "residual updates to the TRUE 1e-7 target "
                              "(f32 arithmetic; device-executable)")
     parser.add_argument("--ks", type=float, nargs="*", default=None)
+    parser.add_argument("--maxiter", type=int, default=10000,
+                        help="outer iteration cap (reference: 10000)")
     parser.add_argument("--no-pallas", action="store_true",
                         help="generic XLA lowering only (fallback when "
                              "the fused-kernel compile is pathological)")
@@ -172,7 +174,7 @@ def main():
             run_case_df64(ps, lambda p=ps: p.rhs_builder(np.float32),
                           f"split    k={k:.0f} levels "
                           f"{args.min_level}->{args.max_level}",
-                          maxiter=10000)
+                          maxiter=args.maxiter)
         else:
             dt = np.float32 if args.device else np.float64
             run_case(ps, lambda p=ps: p.rhs_builder(dt),
