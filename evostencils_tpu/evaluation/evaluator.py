@@ -135,13 +135,19 @@ class CycleEvaluator:
                     else preconditioned_bicgstab)
 
         def solver(u0, b, omegas):
-            def precond(fields):
-                zero = tuple(jnp.zeros_like(f) for f in fields)
-                return lowered.step(zero, fields, omegas)
+            # TPU f32 matmuls/convs default to bf16 MXU passes; a Krylov
+            # recurrence then sees an operator accurate to ~1e-3, stalls,
+            # and can break down (measured on device, BASELINE.md round
+            # 4).  Trace the whole outer solve at HIGHEST precision —
+            # multigrid cycles alone are insensitive, Krylov is not.
+            with jax.default_matmul_precision("highest"):
+                def precond(fields):
+                    zero = tuple(jnp.zeros_like(f) for f in fields)
+                    return lowered.step(zero, fields, omegas)
 
-            x, k, hist = bicgstab(
-                matvec, precond, b, tol=outer.tolerance,
-                maxiter=max_iter, history_size=max_iter)
+                x, k, hist = bicgstab(
+                    matvec, precond, b, tol=outer.tolerance,
+                    maxiter=max_iter, history_size=max_iter)
             return x, k, hist
 
         return jax.jit(solver)
