@@ -170,6 +170,20 @@ def add_level(pset: PrimitiveSet, terminals: Terminals, types: Types,
     def coarsening(coarse_operator, coarse_approximation, restriction_operator,
                    cycle):
         cycle = restrict(restriction_operator, cycle)
+        if FAS:
+            # The reference's FAS backend initializes the coarse solution
+            # field with the restricted fine solution before smoothing
+            # (exastencils_FAS.py:118-133 assigns solution <- R u alongside
+            # the FASApproximation store), overriding the grammar's zero
+            # terminal.  Without this seed the Newton smoother linearizes
+            # around zero and grammar FAS cycles lose their tau-corrected
+            # coarse information (measured rho 0.95 vs 0.13 for the same
+            # V(2,2) at 127^2).
+            restricted_solution = base.mul(restriction_operator,
+                                           cycle.approximation)
+            coarse_approximation = base.Cycle(
+                coarse_approximation, cycle.correction, restricted_solution,
+                relaxation_factor=1.0)
         return initiate_cycle(coarse_operator, coarse_approximation, cycle)
 
     def update_with_coarse_grid_correction(relaxation_factor_index,

@@ -44,8 +44,14 @@ def main():
     problem = poisson_2d(max_level=10, min_level=5)
     problem.dtype = np.float32
     evaluator = CycleEvaluator(problem)
-    evaluator.timing_window_sizes = (2, 8, 32)
-    evaluator.timing_window_budget_s = 4.0
+    # batch-2 amendment (results/h2h_prereg.md): window/budget/output
+    # overridable by env so both batches share this one runner
+    import os
+    windows = tuple(int(w) for w in os.environ.get(
+        "H2H_WINDOWS", "2,8,32").split(","))
+    evaluator.timing_window_sizes = windows
+    evaluator.timing_window_budget_s = float(
+        os.environ.get("H2H_BUDGET_S", "4.0"))
     pset, _ = generate_primitive_set(
         problem.approximation, problem.rhs_entity, problem.level_contexts,
         problem.coarsest_operator)
@@ -84,7 +90,7 @@ def main():
         if r["key"] != "reference":
             record[r["key"]]["ratio"] = (
                 r["time_to_convergence_ms"] / ref["time_to_convergence_ms"])
-    out = ROOT / "results" / "h2h_prereg.jsonl"
+    out = ROOT / "results" / os.environ.get("H2H_OUT", "h2h_prereg.jsonl")
     with out.open("a") as f:
         f.write(json.dumps(record) + "\n")
     for name in ("prereg-A", "prereg-B"):
