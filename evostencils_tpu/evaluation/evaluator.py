@@ -450,6 +450,46 @@ class CycleEvaluator:
                 except Exception:
                     pass   # fall back to the lazy jit path at call time
 
+    #: opt-in structure canonicalization (compiler/canonical.py): pad
+    #: smoother chains with zero-omega sweeps so SWEEP COUNT becomes a
+    #: traced value like omega already is — structures differing only in
+    #: sweep counts then share one compiled program.  Timing caveat: the
+    #: shared program's ms/iteration is an upper bound for members with
+    #: fewer real sweeps (the padded sweeps execute, scaled by zero).
+    canonicalize = False
+
+    def _merge_canonical_groups(self, groups, expressions):
+        """Merge structure-key groups whose padded trees share a
+        relaxation-blind signature; split again on omega-count mismatch
+        (signature-collision guard)."""
+        from ..compiler import canonical
+        merged: Dict[str, List[int]] = {}
+        for key, members in groups.items():
+            try:
+                for i in members:
+                    canonical.pad_smoother_chains(expressions[i])
+                    transformations.assign_cycle_ids(expressions[i])
+                sig = canonical.signature(expressions[members[0]])
+            except Exception:
+                merged[key] = list(members)   # keep the unmerged group
+                continue
+            merged.setdefault(sig, []).extend(members)
+        out: Dict[str, List[int]] = {}
+        for sig, members in merged.items():
+            by_count: Dict[int, List[int]] = {}
+            for i in members:
+                n = len(transformations.find_nodes(expressions[i],
+                                                   base.Cycle))
+                by_count.setdefault(n, []).append(i)
+            if len(by_count) == 1:
+                out[sig] = members
+            else:
+                for n, mem in by_count.items():
+                    out[f"{sig}#n{n}"] = mem
+        #: (structure keys before, programs after) of the last merge
+        self.canonical_collapse = (len(groups), len(out))
+        return out
+
     def evaluate_population(self, individuals: List, pset) -> List[EvaluationResult]:
         """Group by structure, one vmapped batched solve per group."""
         groups: Dict[str, List[int]] = {}
@@ -470,6 +510,8 @@ class CycleEvaluator:
                     RuntimeError, KeyError):
                 results[i] = EvaluationResult(self.infinity, self.infinity,
                                               self.infinity)
+        if self.canonicalize:
+            groups = self._merge_canonical_groups(groups, expressions)
         # pad each group's batch to a power-of-two bucket: group sizes
         # vary per generation and every distinct batch shape is a fresh
         # XLA compilation — bucketing bounds compiles per structure at
