@@ -334,3 +334,262 @@ def refined_bicgstab_split(matvec: Callable, precond: Callable,
                   f"(total {total_k})", flush=True)
         r_cur = r_hi
     return x_hi, x_lo, total_k, history
+
+
+# -- full-df64-recurrence BiCGStab (VERDICT r4 next-step #2) ----------------
+#
+# At k=320 the f32 Krylov BASIS degenerates before 1e-7 (rho=0.995 needs
+# thousands of iterations; residual replacement cannot fix basis error —
+# BASELINE.md round 4).  Here the prescribed experiment: carry the
+# RECURRENCE VECTORS x, r, r_hat, v, p, every dot product and every
+# recurrence scalar as df64 (double-float) words, with the matvec in
+# compensated df64 (apply_constant_df) — only the V-cycle preconditioner
+# stays f32 (a preconditioner need only be a fixed approximate inverse;
+# its f32 rounding perturbs the effective operator at ~1e-7 relative).
+# The reference bar is the all-f64 C++ protocol
+# (Helmholtz/2D_FD_Helmholtz_fromL3.exa3:144-201, cap :192).
+
+
+def _df_div(a, b):
+    """df64 / df64 (two Newton-like correction terms, ~2 ulp)."""
+    q1 = a[0] / b[0]
+    r = df64.df_sub(a, df64.df_mul_f32(b, q1))
+    q2 = r[0] / b[0]
+    r2 = df64.df_sub(r, df64.df_mul_f32(b, q2))
+    q3 = r2[0] / b[0]
+    q = df64.two_sum(q1, q2)
+    return df64.fast_two_sum(q[0], q[1] + q3)
+
+
+def _cdf(re, im):
+    return (re, im)
+
+
+def _cdf_mul(a, b):
+    return (df64.df_sub(df64.df_mul(a[0], b[0]), df64.df_mul(a[1], b[1])),
+            df64.df_add(df64.df_mul(a[0], b[1]), df64.df_mul(a[1], b[0])))
+
+
+def _cdf_div(a, b):
+    d = df64.df_add(df64.df_mul(b[0], b[0]), df64.df_mul(b[1], b[1]))
+    # breakdown guard (mirrors ops/solvers._cdiv_s): a zero denominator
+    # must not poison the state with NaN — the host loop restarts instead
+    d = (jnp.where(d[0] == 0, jnp.float32(1.0), d[0]),
+         jnp.where(d[0] == 0, jnp.float32(0.0), d[1]))
+    re = _df_div(df64.df_add(df64.df_mul(a[0], b[0]),
+                             df64.df_mul(a[1], b[1])), d)
+    im = _df_div(df64.df_sub(df64.df_mul(a[1], b[0]),
+                             df64.df_mul(a[0], b[1])), d)
+    return (re, im)
+
+
+def _cdf_neg(a):
+    return (df64.df_neg(a[0]), df64.df_neg(a[1]))
+
+
+def _vdf_zero(b):
+    return (tuple(jnp.zeros_like(f) for f in b),
+            tuple(jnp.zeros_like(f) for f in b))
+
+
+def _vdf_from(fields):
+    return (tuple(fields), tuple(jnp.zeros_like(f) for f in fields))
+
+
+def _vdf_halves(v):
+    """Split a df64 split-complex vector into per-field (re, im) df64
+    halves: returns (re_fields, im_fields) each as lists of DF pairs."""
+    hi, lo = v
+    h = len(hi) // 2
+    re = [(hi[i], lo[i]) for i in range(h)]
+    im = [(hi[h + i], lo[h + i]) for i in range(h)]
+    return re, im
+
+
+def _vdf_join(re, im):
+    hi = tuple(f[0] for f in re) + tuple(f[0] for f in im)
+    lo = tuple(f[1] for f in re) + tuple(f[1] for f in im)
+    return (hi, lo)
+
+
+def _df_dot_field(a, b):
+    return df64.df_sum(df64.df_mul(a, b))
+
+
+def _cdot_df(a, b):
+    """Complex <a, b> (conjugating a) over df64 split vectors; df64
+    complex scalar result."""
+    ar, ai = _vdf_halves(a)
+    br, bi = _vdf_halves(b)
+    re = (jnp.float32(0.0), jnp.float32(0.0))
+    im = (jnp.float32(0.0), jnp.float32(0.0))
+    for k in range(len(ar)):
+        re = df64.df_add(re, df64.df_add(_df_dot_field(ar[k], br[k]),
+                                         _df_dot_field(ai[k], bi[k])))
+        im = df64.df_add(im, df64.df_sub(_df_dot_field(ar[k], bi[k]),
+                                         _df_dot_field(ai[k], br[k])))
+    return _cdf(re, im)
+
+
+def _caxpy_df(alpha, x, y):
+    """y + alpha * x with df64 complex scalar alpha over df64 vectors."""
+    ar, ai = alpha
+    xr, xi = _vdf_halves(x)
+    yr, yi = _vdf_halves(y)
+    re, im = [], []
+    for k in range(len(xr)):
+        re.append(df64.df_add(yr[k],
+                              df64.df_sub(df64.df_mul(ar, xr[k]),
+                                          df64.df_mul(ai, xi[k]))))
+        im.append(df64.df_add(yi[k],
+                              df64.df_add(df64.df_mul(ar, xi[k]),
+                                          df64.df_mul(ai, xr[k]))))
+    return _vdf_join(re, im)
+
+
+def _vdf_norm2(a):
+    hi, lo = a
+    total = (jnp.float32(0.0), jnp.float32(0.0))
+    for h, l in zip(hi, lo):
+        total = df64.df_add(total, df64.df_norm2_sq((h, l)))
+    return total
+
+
+def split_system_matvec_df(op: system.Operator) -> Callable:
+    """``matvec_df(u) -> A u`` over df64 field-tuple vectors for the same
+    constant+row-delta block-system class as split_system_residual_df."""
+    F = len(op.entries)
+    parts = [[_entry_df_parts(e) for e in row] for row in op.entries]
+
+    def matvec_df(u):
+        u_hi, u_lo = u
+        out_hi, out_lo = [], []
+        for i in range(F):
+            acc = df64.df_zero_like(u_hi[i])
+            for j in range(F):
+                stencil_df, radius, fixups = parts[i][j]
+                if stencil_df:
+                    au = apply_constant_df(stencil_df, radius,
+                                           (u_hi[j], u_lo[j]),
+                                           u_hi[j].shape)
+                else:
+                    au = df64.df_zero_like(u_hi[i])
+                for row, dhi, dlo in fixups:
+                    t = df64.df_mul((u_hi[j][row], u_lo[j][row]),
+                                    (jnp.float32(dhi), jnp.float32(dlo)))
+                    srow = df64.df_add((au[0][row], au[1][row]), t)
+                    au = (au[0].at[row].set(srow[0]),
+                          au[1].at[row].set(srow[1]))
+                acc = df64.df_add(acc, au)
+            out_hi.append(acc[0])
+            out_lo.append(acc[1])
+        return (tuple(out_hi), tuple(out_lo))
+
+    return matvec_df
+
+
+def df64_basis_bicgstab_split(matvec_df: Callable, precond: Callable,
+                              residual_df: Callable, b, *,
+                              tol: float = 1e-7, maxiter: int = 10000,
+                              segment: int = 100, verbose: bool = False):
+    """Right-preconditioned split-complex BiCGStab with the ENTIRE Krylov
+    recurrence in df64 (vectors, dots, scalars, matvec); the V-cycle
+    preconditioner is applied in f32 to the hi words.  Returns
+    ``(x_hi, x_lo, total_iterations, history)``."""
+    one = (jnp.float32(1.0), jnp.float32(0.0))
+    zero_s = (jnp.float32(0.0), jnp.float32(0.0))
+    cone = _cdf(one, zero_s)
+
+    @jax.jit
+    def measure(x_hi, x_lo, bt):
+        r_hi, r_lo = residual_df(x_hi, x_lo, bt)
+        n2 = _vdf_norm2((r_hi, r_lo))
+        return (r_hi, r_lo), jnp.sqrt(n2[0] + n2[1])
+
+    zero_fields = tuple(jnp.zeros_like(f) for f in b)
+    _, bnorm_s = measure(zero_fields, zero_fields, tuple(b))
+    bnorm = float(bnorm_s)
+
+    def seg_body(state):
+        (x, r, v, p, rho, alpha, omega, r_hat, k_in, _) = state
+        rho_new = _cdot_df(r_hat, r)
+        beta = _cdf_mul(_cdf_div(rho_new, rho), _cdf_div(alpha, omega))
+        p = _caxpy_df(beta, _caxpy_df(_cdf_neg(omega), v, p), r)
+        y = _vdf_from(precond(p[0]))
+        v = matvec_df(y)
+        alpha = _cdf_div(rho_new, _cdot_df(r_hat, v))
+        s = _caxpy_df(_cdf_neg(alpha), v, r)
+        z = _vdf_from(precond(s[0]))
+        t = matvec_df(z)
+        omega_new = _cdf_div(_cdot_df(t, s), _cdot_df(t, t))
+        x = _caxpy_df(omega_new, z, _caxpy_df(alpha, y, x))
+        r = _caxpy_df(_cdf_neg(omega_new), t, s)
+        n2 = _vdf_norm2(r)
+        return (x, r, v, p, rho_new, alpha, omega_new, r_hat, k_in + 1,
+                jnp.sqrt(n2[0] + n2[1]))
+
+    @jax.jit
+    def run_segment(x, r, v, p, rho, alpha, omega, r_hat, limit_res):
+        def cond(state):
+            return jnp.logical_and(state[-2] < segment,
+                                   state[-1] > limit_res)
+        n2 = _vdf_norm2(r)
+        st = (x, r, v, p, rho, alpha, omega, r_hat, 0,
+              jnp.sqrt(n2[0] + n2[1]))
+        return jax.lax.while_loop(cond, seg_body, st)
+
+    limit = jnp.float32(tol * bnorm)
+
+    x = _vdf_zero(b)
+    r = _vdf_from(b)
+    r_hat = _vdf_from(b)
+    v = _vdf_zero(b)
+    p = _vdf_zero(b)
+    rho = alpha = omega = cone
+    total_k = 0
+    history = []
+    rel = 1.0
+    # reliable updates ON TOP of the df64 basis: the df64 recurrence
+    # still accumulates x-r drift proportional to eps_df64 (~3.6e-15)
+    # times the indefinite-Helmholtz intermediate spikes — measured wall
+    # 1.08e-6 at k=80 (f64's wall sits ~32x lower, which is why the
+    # reference converges).  Replacing r with the compensated true df64
+    # residual every segment resets the drift; the df64 BASIS (the round-4
+    # f32 wall) stays intact.
+    best = (x, _vdf_from(b), 1.0)
+    restarts = 0
+    while total_k < maxiter:
+        (x, r, v, p, rho, alpha, omega, r_hat, k_in, res) = run_segment(
+            x, r, v, p, rho, alpha, omega, r_hat, limit)
+        total_k += int(k_in)
+        r_true, rnorm = measure(x[0], x[1], tuple(b))
+        rel = float(rnorm) / bnorm
+        history.append(rel)
+        if verbose:
+            print(f"[df64-bicgstab] k={total_k} true rel={rel:.3e} "
+                  f"recurrence={float(res) / bnorm:.3e}", flush=True)
+        if rel <= tol:
+            break
+        if np.isfinite(rel) and rel < best[2]:
+            best = (x, r_true, rel)
+        if not np.isfinite(rel) or rel > 50 * best[2]:
+            # Krylov breakdown: roll back to the best iterate and rebuild
+            # the process from its true residual (the accumulated df64
+            # solution survives; only the Krylov state is reset)
+            if restarts >= 40:
+                break
+            restarts += 1
+            x, r, _ = best
+            r_hat = r
+            v = _vdf_zero(b)
+            p = _vdf_zero(b)
+            rho = alpha = omega = cone
+            if verbose:
+                print(f"[df64-bicgstab] restart {restarts} from "
+                      f"rel={best[2]:.3e}", flush=True)
+            continue
+        r = r_true                     # residual replacement
+        if int(k_in) < segment and float(res) <= float(limit):
+            # recurrence under target but true residual above: tighten
+            limit = limit * jnp.float32(0.25)
+    return x[0], x[1], total_k, history

@@ -114,6 +114,50 @@ def run_case_df64(problem, build, tag, maxiter=5000, segment=40):
     return k, rel
 
 
+def run_case_df64_basis(problem, build, tag, maxiter=10000, segment=100):
+    """The FULL df64-recurrence BiCGStab (compiler/refine_split.py
+    df64_basis_bicgstab_split): vectors, dots, scalars and matvec all in
+    double-float words; only the V-cycle preconditioner stays f32.  The
+    r4-verdict experiment for the k=320 device cell."""
+    import jax
+    import jax.numpy as jnp
+    from evostencils_tpu.compiler.cycles import v_cycle
+    from evostencils_tpu.compiler.lower import lower_cycle
+    from evostencils_tpu.compiler.refine_split import (
+        split_system_residual_df, split_system_matvec_df,
+        df64_basis_bicgstab_split)
+    from evostencils_tpu.ir import partitioning as part
+    from evostencils_tpu.ir import smoother
+
+    cyc = v_cycle(problem.level_contexts, problem.rhs_entity,
+                  pre_smoothing=2, post_smoothing=1, omega=0.6,
+                  partitioning=part.RedBlack,
+                  smoother_factory=smoother.generate_collective_jacobi,
+                  coarse_operator=problem.coarsest_operator)
+    low = lower_cycle(cyc, problem.approximation, problem.rhs_entity)
+    om = jnp.asarray(low.default_omegas, jnp.float32)
+    b = build()
+    matvec_df = split_system_matvec_df(problem.outer_solver.operator)
+    residual_df = split_system_residual_df(problem.outer_solver.operator)
+
+    def precond(fields):
+        zero = tuple(jnp.zeros_like(f) for f in fields)
+        return low.step(zero, fields, om)
+
+    t0 = time.perf_counter()
+    x_hi, x_lo, k, hist = df64_basis_bicgstab_split(
+        matvec_df, precond, residual_df, b, tol=1e-7, maxiter=maxiter,
+        segment=segment, verbose=True)
+    wall = time.perf_counter() - t0
+    rel = hist[-1]
+    rho = rel ** (1.0 / max(k, 1))
+    conv = "ok" if rel <= 1.1e-7 and k < maxiter else "NOT CONVERGED"
+    print(f"[helmholtz] {tag} (df64 BASIS): iters={k} "
+          f"true_rel_res={rel:.2e} rho={rho:.3f} wall={wall:.1f}s {conv}",
+          flush=True)
+    return k, rel
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--device", action="store_true",
@@ -123,6 +167,10 @@ def main():
                         help="solve the split cases with df64 reliable "
                              "residual updates to the TRUE 1e-7 target "
                              "(f32 arithmetic; device-executable)")
+    parser.add_argument("--df64-basis", action="store_true",
+                        help="full df64-recurrence BiCGStab (vectors, "
+                             "dots, scalars, matvec in double-float; "
+                             "f32 preconditioner)")
     parser.add_argument("--ks", type=float, nargs="*", default=None)
     parser.add_argument("--maxiter", type=int, default=10000,
                         help="outer iteration cap (reference: 10000)")
@@ -148,7 +196,7 @@ def main():
     print(f"[helmholtz] device: {jax.devices()[0]}", file=sys.stderr)
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    if args.df64:
+    if args.df64 or args.df64_basis:
         # on TPU, f32 matmuls/convs run on the MXU at bf16-pass precision
         # by default; the BiCGStab recurrence then sees an operator
         # accurate to only ~1e-3 and stalls at ~5e-5 before diverging
@@ -162,14 +210,20 @@ def main():
         config.use_pallas_kernels = False
 
     for k in (args.ks or (80.0, 160.0, 320.0)):
-        if not args.device and not args.df64:
+        if not args.device and not args.df64 and not args.df64_basis:
             pc = helmholtz_2d(max_level=args.max_level,
                               min_level=args.min_level, k=k)
             run_case(pc, pc.build_rhs, f"complex  k={k:.0f} "
                      f"levels {args.min_level}->{args.max_level}")
         ps = helmholtz_2d_split(max_level=args.max_level,
                                 min_level=args.min_level, k=k)
-        if args.df64:
+        if args.df64_basis:
+            ps.dtype = np.float32
+            run_case_df64_basis(ps, lambda p=ps: p.rhs_builder(np.float32),
+                                f"split    k={k:.0f} levels "
+                                f"{args.min_level}->{args.max_level}",
+                                maxiter=args.maxiter)
+        elif args.df64:
             ps.dtype = np.float32
             run_case_df64(ps, lambda p=ps: p.rhs_builder(np.float32),
                           f"split    k={k:.0f} levels "
