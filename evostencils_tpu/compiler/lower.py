@@ -1047,22 +1047,9 @@ class _Lowering:
         vals = plan["sig"][1]
         omegas = [self.omegas[c.global_id]
                   for c in reversed(plan["sweeps"])]
-        u_s, rc_half = wavefront3d.downleg_wavefront_3d(
+        u_s, rc = wavefront3d.downleg_wavefront_3d(
             u, b[0], (omegas[0], omegas[1]), vals, 1.0 / vals[0], taps,
             interpret=pallas_interpret())
-        # the lane (axis 2) contraction stays outside the kernel
-        # (scoped-VMEM budget): one dense banded MXU contraction
-        n2 = u.shape[2]
-        key = ("wf3d_lane_r", n2, taps[2])
-        if key not in self.memo:
-            nc2 = (n2 - 1) // 2
-            R2 = np.zeros((n2, nc2), np.float32)
-            for jc in range(nc2):
-                for d in range(3):
-                    R2[2 * jc + d, jc] = taps[2][d]
-            self.memo[key] = jnp.asarray(R2)
-        rc = jnp.einsum('ijk,kl->ijl', rc_half.astype(jnp.float32),
-                        self.memo[key]).astype(u.dtype)
         return ((u_s,), (rc,))
 
     def _run_post_fusion_3d(self, plan):

@@ -46,7 +46,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .transfer import _lane_prolong_block, prolong_lane_matrices
+from .transfer import (_lane_prolong_block, _lane_restrict_block,
+                       prolong_lane_matrices, restrict_lane_matrix)
 
 _B = 2          # planes per step (lag 4 = 2 blocks; B=4 windows
                 # exceeded the 16 MB scoped-VMEM limit at 255^2 planes)
@@ -64,7 +65,7 @@ def _inplane_shifts(v):
     return ym, yp, zm, zp
 
 
-def _wavefront_kernel(u_ref, b_ref, om_ref, u_out_ref, rc_out_ref,
+def _wavefront_kernel(u_ref, b_ref, om_ref, rm_ref, u_out_ref, rc_out_ref,
                       t_u0, t_1r, t_1b, t_2r, t_2b, t_b, t_r, *,
                       c, dinv, taps0, taps1, n0, n1, n2, nb, nbc):
     i = pl.program_id(0)
@@ -185,7 +186,14 @@ def _wavefront_kernel(u_ref, b_ref, om_ref, u_out_ref, rc_out_ref,
     @pl.when(jnp.logical_and(jnp.logical_and(i >= 4, (i % 2) == 0),
                              i <= 2 * nbc + 2))
     def _store_rc():
-        rc_out_ref[:] = rb.astype(rc_out_ref.dtype)
+        # r4->r5: the lane (axis 2) contraction now runs IN-KERNEL as
+        # chunked 128-lane MXU dots against the shared banded matrix
+        # (transfer._lane_restrict_block) — the previous full-lane rc
+        # output cost a (nc0, nc1, n2) HBM round trip plus a separate
+        # einsum launch per cycle
+        rb_c = _lane_restrict_block(rb.reshape(2 * nc1, n2), rm_ref, n2)
+        rc_out_ref[:] = rb_c.reshape(2, nc1, (n2 - 1) // 2) \
+            .astype(rc_out_ref.dtype)
 
     # ---- roll the tails
     t_u0[:] = w0[-2:]
@@ -212,13 +220,13 @@ def downleg_wavefront_3d(u, b, omegas2, stencil_vals, dinv, taps,
     """Fused V-cycle down-leg for a constant 7-point operator:
     ``u' = RB(RB(u))`` (two red-black sweeps, omegas2 = (w1, w2)) plus
     the residual with axis-0/axis-1 decimation applied in-kernel.
-    Returns ``(u', rc_half)`` with ``rc_half`` of shape (nc0, nc1, n2) —
-    the caller contracts the lane axis (e.g.
-    transfer.restrict_lane_matrix on the MXU)."""
+    Returns ``(u', rc)`` with the FULL restriction applied in-kernel
+    (axis-0/1 decimation + chunked-MXU lane contraction), shape
+    (nc0, nc1, nc2)."""
     n0, n1, n2 = u.shape
     B = _B
     nb = pl.cdiv(n0, B)
-    nc0, nc1 = (n0 - 1) // 2, (n1 - 1) // 2
+    nc0, nc1, nc2 = (n0 - 1) // 2, (n1 - 1) // 2, (n2 - 1) // 2
     nbc = pl.cdiv(nc0, 2)
     grid = (max(nb + 2, 2 * nbc + 3),)
     kernel = functools.partial(
@@ -227,6 +235,7 @@ def downleg_wavefront_3d(u, b, omegas2, stencil_vals, dinv, taps,
         n0=n0, n1=n1, n2=n2, nb=nb, nbc=nbc)
     om = jnp.stack([jnp.asarray(omegas2[0], jnp.float32),
                     jnp.asarray(omegas2[1], jnp.float32)]).reshape(1, 2)
+    rmat = jnp.asarray(restrict_lane_matrix(taps[2]))
     plane = (n1, n2)
     scratch = [
         pltpu.VMEM((2,) + plane, jnp.float32),   # t_u0
@@ -237,7 +246,7 @@ def downleg_wavefront_3d(u, b, omegas2, stencil_vals, dinv, taps,
         pltpu.VMEM((5,) + plane, jnp.float32),   # t_b
         pltpu.VMEM((3,) + plane, jnp.float32),   # t_r
     ]
-    u_out, rc_half = pl.pallas_call(
+    u_out, rc = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -248,24 +257,26 @@ def downleg_wavefront_3d(u, b, omegas2, stencil_vals, dinv, taps,
                          lambda i: (jnp.minimum(i, nb - 1), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((384, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((B, n1, n2),
                          lambda i: (jnp.clip(i - 2, 0, nb - 1), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, nc1, n2),
+            pl.BlockSpec((2, nc1, nc2),
                          lambda i: (jnp.clip((i - 4) // 2, 0, nbc - 1),
                                     0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nb * B, n1, n2), u.dtype),
-            jax.ShapeDtypeStruct((nbc * 2, nc1, n2), u.dtype),
+            jax.ShapeDtypeStruct((nbc * 2, nc1, nc2), u.dtype),
         ],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(u, b, om)
-    return u_out[:n0], rc_half[:nc0]
+    )(u, b, om, rmat)
+    return u_out[:n0], rc[:nc0]
 
 
 def _upleg_kernel(u_ref, e_ref, b_ref, om_ref, pm_ref, u_out_ref,

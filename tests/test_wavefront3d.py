@@ -41,17 +41,23 @@ def test_wavefront_downleg_matches_leg3d(shape):
     ra = (t[0] * r_ref[0:2 * nc[0]:2] + t[1] * r_ref[1:2 * nc[0] + 1:2]
           + t[2] * r_ref[2:2 * nc[0] + 2:2])
     t = TAPS[1]
-    rc_ref = (t[0] * ra[:, 0:2 * nc[1]:2] + t[1] * ra[:, 1:2 * nc[1] + 1:2]
+    rb_ref = (t[0] * ra[:, 0:2 * nc[1]:2] + t[1] * ra[:, 1:2 * nc[1] + 1:2]
               + t[2] * ra[:, 2:2 * nc[1] + 2:2])
+    # r5: the lane (axis 2) contraction runs in-kernel too — the kernel
+    # returns the FULL restriction
+    t = TAPS[2]
+    rc_ref = (t[0] * rb_ref[:, :, 0:2 * nc[2]:2]
+              + t[1] * rb_ref[:, :, 1:2 * nc[2] + 1:2]
+              + t[2] * rb_ref[:, :, 2:2 * nc[2] + 2:2])
 
-    u_wf, rc_half = wavefront3d.downleg_wavefront_3d(
+    u_wf, rc = wavefront3d.downleg_wavefront_3d(
         u, b, (om1, om2), STENCIL, DINV, TAPS, interpret=True)
 
     assert u_wf.shape == u.shape
     np.testing.assert_allclose(np.asarray(u_wf), np.asarray(u_ref),
                                rtol=0, atol=2e-5)
-    assert rc_half.shape == (nc[0], nc[1], shape[2])
-    np.testing.assert_allclose(np.asarray(rc_half), rc_ref,
+    assert rc.shape == nc
+    np.testing.assert_allclose(np.asarray(rc), rc_ref,
                                rtol=0, atol=2e-5)
 
 
