@@ -45,6 +45,12 @@ def main():
     ap.add_argument("--seeds-from", default=None,
                     help="checkpoint file whose hall-of-fame/population "
                          "champions seed the initial population")
+    ap.add_argument("--generalization-interval", type=int, default=10 ** 9,
+                    help="grow the problem one level (e.g. 511^2 -> "
+                         "1023^2) every N generations and re-evaluate "
+                         "the population (reference program.py:512-539)")
+    ap.add_argument("--start-max-level", type=int, default=10)
+    ap.add_argument("--start-min-level", type=int, default=5)
     ap.add_argument("--skip-headtohead", action="store_true",
                     help="just advance the campaign; the head-to-head is "
                          "measured separately in a fresh process "
@@ -66,9 +72,15 @@ def main():
     from evostencils_tpu.grammar import gp
     from evostencils_tpu.ir import transformations
 
-    max_level, min_level = 10, 5        # 1023^2 fine grid
-    problem = poisson_2d(max_level=max_level, min_level=min_level)
-    problem.dtype = np.float32
+    max_level = args.start_max_level    # default 1023^2 fine grid
+    min_level = args.start_min_level
+
+    def problem_factory(mn, mx):
+        prob = poisson_2d(max_level=mx, min_level=mn)
+        prob.dtype = np.float32
+        return prob
+
+    problem = problem_factory(min_level, max_level)
     evaluator = CycleEvaluator(problem)
     # compiles run in the remote compile service; local threads only wait
     evaluator.compile_workers = 8
@@ -79,6 +91,7 @@ def main():
         prescreen = SmallGridPrescreen(small, rho_cap=0.9)
     opt = Optimizer(problem, evaluator=evaluator, rng=random.Random(42),
                     prescreen=prescreen,
+                    problem_factory=problem_factory,
                     checkpoint_directory_path=args.ckpt_dir)
 
     seeds = []
@@ -106,6 +119,7 @@ def main():
     result = opt.evolutionary_optimization(
         mu_=args.mu, lambda_=args.mu, population_initialization_factor=2,
         generations=gens, continue_from_checkpoint=args.resume,
+        generalization_interval=args.generalization_interval,
         initial_individuals=seeds or None,
         verbose=True)
     wall = time.perf_counter() - t_start
