@@ -132,17 +132,31 @@ def pad_smoother_chains(root: base.Cycle) -> int:
     return inserted
 
 
-def _sig(node, out: List[str], seen=None):
+def _sig(node, out: List[str], memo=None):
+    # expression graphs are DAGs (rhs/tau subtrees are shared by every
+    # residual of a level); without sharing-aware serialization the
+    # string blows up exponentially in depth — emit a back-reference the
+    # second time a node is reached.  Individuals grouped by
+    # structure_key are built by identical compile_tree runs, so their
+    # sharing topology (and hence the back-reference pattern) matches.
+    if memo is None:
+        memo = {}
+    if isinstance(node, base.Expression):
+        ref = memo.get(id(node))
+        if ref is not None:
+            out.append(f"#{ref}")
+            return
+        memo[id(node)] = len(memo)
     t = type(node).__name__
     if isinstance(node, base.Cycle):
         p = getattr(node.partitioning, "__name__",
                     str(node.partitioning))
         out.append(f"Cy[{p}](")
-        _sig(node.approximation, out)
+        _sig(node.approximation, out, memo)
         out.append(",")
-        _sig(node.rhs, out)
+        _sig(node.rhs, out, memo)
         out.append(",")
-        _sig(node.correction, out)
+        _sig(node.correction, out, memo)
         out.append(")")
         return
     if isinstance(node, base.Expression):
@@ -162,7 +176,7 @@ def _sig(node, out: List[str], seen=None):
         for child in node.children:
             if not first:
                 out.append(",")
-            _sig(child, out)
+            _sig(child, out, memo)
             first = False
         out.append(")")
         return
