@@ -110,9 +110,17 @@ def pad_smoother_chains(root: base.Cycle) -> int:
                     cur = last.approximation
                     for _ in range(PAD_TO - L):
                         pad_res = base.Residual(res.operator, cur, res.rhs)
+                        # fresh Inverse + smoother wrapper per pad sweep:
+                        # naturally-built chains create one per sweep too
+                        # (grammar `smoothing` calls the factory each
+                        # time), so the padded tree's SHARING topology
+                        # matches a natural chain's — required for the
+                        # DAG-aware signature to align back-references
+                        pad_inv = base.Inverse(
+                            type(inv.operand)(inv.operand.operand))
                         pad = base.Cycle(
                             cur, last.rhs,
-                            base.Multiplication(inv, pad_res),
+                            base.Multiplication(pad_inv, pad_res),
                             partitioning=last.partitioning,
                             relaxation_factor=0.0,
                             predecessor=last.predecessor)
