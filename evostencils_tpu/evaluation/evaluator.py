@@ -431,16 +431,20 @@ class CycleEvaluator:
         for key, entry in entries.items():
             om_b = omega_batches[key]
             if om_b.shape[0] > 1:
-                jobs.append((entry["batched_solver"], (om_b,)))
+                jobs.append((entry, "batched_aot", entry["batched_solver"],
+                             (om_b,)))
             om1 = jnp.asarray(np.asarray(om_b[0]), dtype=self._om_dtype())
-            jobs.append((entry["solver"], (self._u0, self._b, om1)))
+            jobs.append((entry, "solver_aot", entry["solver"],
+                         (self._u0, self._b, om1)))
 
         def compile_one(job):
-            # AOT lower+compile for the side effect of populating the
-            # persistent XLA compile cache; the jit call that follows
-            # deserializes from it instead of recompiling
-            fn, args = job
-            fn.lower(*args).compile()
+            # AOT lower+compile, KEEPING the compiled executable: calling
+            # the lazy jit wrapper afterwards would re-trace the whole
+            # program a second time (tracing is GIL-serial Python and, on
+            # a warm persistent cache, costs as much as the compile —
+            # measured round 5)
+            entry, slot, fn, args = job
+            entry[slot] = fn.lower(*args).compile()
 
         with cf.ThreadPoolExecutor(self.compile_workers) as pool:
             futures = [pool.submit(compile_one, j) for j in jobs]
@@ -556,11 +560,14 @@ class CycleEvaluator:
                     # case for random populations, VERDICT r3 #8)
                     om1 = jnp.asarray(np.asarray(omega_batch[0]),
                                       dtype=self._om_dtype())
-                    _, it1, h1 = entry["solver"](self._u0, self._b, om1)
+                    run = entry.get("solver_aot") or entry["solver"]
+                    _, it1, h1 = run(self._u0, self._b, om1)
                     iters_b = np.asarray([jax.device_get(it1)])
                     hist_b = np.asarray(jax.device_get(h1))[None]
                 else:
-                    iters_b, hist_b = entry["batched_solver"](omega_batch)
+                    run_b = (entry.get("batched_aot")
+                             or entry["batched_solver"])
+                    iters_b, hist_b = run_b(omega_batch)
                     iters_b = np.asarray(jax.device_get(iters_b))[:B]
                     hist_b = np.asarray(jax.device_get(hist_b))[:B]
             except Exception:

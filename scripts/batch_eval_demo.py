@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--max-level", type=int, default=6)
     ap.add_argument("--min-level", type=int, default=2)
+    ap.add_argument("--canonicalize", action="store_true",
+                    help="merge structures differing only in smoother "
+                         "sweep counts into shared programs "
+                         "(compiler/canonical.py)")
     args = ap.parse_args()
 
     import jax
@@ -50,6 +54,7 @@ def main():
     # compiles run in the remote compile service; local threads only wait,
     # so a wider pool overlaps more of the per-structure latency
     evaluator.compile_workers = 8
+    evaluator.canonicalize = args.canonicalize
     pset, _ = generate_primitive_set(
         problem.approximation, problem.rhs_entity, problem.level_contexts,
         problem.coarsest_operator)
@@ -68,6 +73,12 @@ def main():
           f"({wall / N:.2f}s/individual amortized), "
           f"{structures} structures compiled, "
           f"{len(finite)}/{N} finite fitness", flush=True)
+    if args.canonicalize and getattr(evaluator, "canonical_collapse", None):
+        keys, programs = evaluator.canonical_collapse
+        print(f"[batch] canonicalization: {keys} structure keys -> "
+              f"{programs} programs "
+              f"({keys / max(programs, 1):.2f} structures/program)",
+              flush=True)
     if finite:
         best = min(finite, key=lambda r: r.time_to_convergence_ms)
         print(f"[batch] best: t_conv={best.time_to_convergence_ms:.3f} ms "
