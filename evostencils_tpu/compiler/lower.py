@@ -1047,9 +1047,11 @@ class _Lowering:
         vals = plan["sig"][1]
         omegas = [self.omegas[c.global_id]
                   for c in reversed(plan["sweeps"])]
+        from ..config import config as _cfg
         u_s, rc = wavefront3d.downleg_wavefront_3d(
             u, b[0], (omegas[0], omegas[1]), vals, 1.0 / vals[0], taps,
-            interpret=pallas_interpret())
+            interpret=pallas_interpret(),
+            block=_cfg.wavefront_downleg_block)
         return ((u_s,), (rc,))
 
     def _run_post_fusion_3d(self, plan):

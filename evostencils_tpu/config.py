@@ -73,6 +73,10 @@ class Config:
     #: for 5-point operators (ops/pallas/transfer._rb_sweep_loop); A/B
     #: flag for the masked-update-waste lever (round 4)
     combined_rb: bool = False
+    #: 3D wavefront down-leg planes-per-step (None = kernel default 2;
+    #: 4 halves the sequential grid-step count — A/B flag for the
+    #: per-step-overhead lever, round 5)
+    wavefront_downleg_block: Optional[int] = None
     #: nonlinear coarsest-grid solver sweeps (reference FAS template: 200)
     nonlinear_cgs_sweeps: int = 200
     nonlinear_cgs_omega: float = 0.8

@@ -67,9 +67,8 @@ def _inplane_shifts(v):
 
 def _wavefront_kernel(u_ref, b_ref, om_ref, rm_ref, u_out_ref, rc_out_ref,
                       t_u0, t_1r, t_1b, t_2r, t_2b, t_b, t_r, *,
-                      c, dinv, taps0, taps1, n0, n1, n2, nb, nbc):
+                      c, dinv, taps0, taps1, n0, n1, n2, nb, nbc, B=_B):
     i = pl.program_id(0)
-    B = _B
     cc, cxm, cxp, cym, cyp, czm, czp = c
     # premultiplied form — bitwise-identical update order to the
     # two-axis leg kernels (leg3d._rb2ax_kernel)
@@ -177,14 +176,17 @@ def _wavefront_kernel(u_ref, b_ref, om_ref, rm_ref, u_out_ref, rc_out_ref,
     rb = w1m * rev + w10 * rod + w1p * rev2               # (2, nc1, n2)
 
     # ---- guarded stores (drain steps keep the previous real content).
-    # At B=2 the smoothed u lags TWO blocks; rc block m covers fine
-    # planes [4m, 4m+4], complete only on every other step (i even).
-    @pl.when(jnp.logical_and(i >= 2, i <= nb + 1))
+    # The smoothed u lags 4 planes = 4/B blocks; an rc block of 2 coarse
+    # planes covers 4 fine planes and completes every 4/B steps.
+    u_lag = 4 // B
+    @pl.when(jnp.logical_and(i >= u_lag, i <= nb + u_lag - 1))
     def _store_u():
         u_out_ref[:] = s2b.astype(u_out_ref.dtype)
 
-    @pl.when(jnp.logical_and(jnp.logical_and(i >= 4, (i % 2) == 0),
-                             i <= 2 * nbc + 2))
+    rc_ready = (jnp.logical_and(jnp.logical_and(i >= 4, (i % 2) == 0),
+                                i <= 2 * nbc + 2) if B == 2 else
+                jnp.logical_and(i >= 2, i <= nbc + 1))
+    @pl.when(rc_ready)
     def _store_rc():
         # r4->r5: the lane (axis 2) contraction now runs IN-KERNEL as
         # chunked 128-lane MXU dots against the shared banded matrix
@@ -216,7 +218,7 @@ def supports(u) -> bool:
 
 
 def downleg_wavefront_3d(u, b, omegas2, stencil_vals, dinv, taps,
-                         interpret=False):
+                         interpret=False, block=None):
     """Fused V-cycle down-leg for a constant 7-point operator:
     ``u' = RB(RB(u))`` (two red-black sweeps, omegas2 = (w1, w2)) plus
     the residual with axis-0/axis-1 decimation applied in-kernel.
@@ -224,15 +226,18 @@ def downleg_wavefront_3d(u, b, omegas2, stencil_vals, dinv, taps,
     (axis-0/1 decimation + chunked-MXU lane contraction), shape
     (nc0, nc1, nc2)."""
     n0, n1, n2 = u.shape
-    B = _B
+    B = block or _B
+    if B not in (2, 4):
+        raise ValueError("wavefront down-leg supports B in {2, 4}")
     nb = pl.cdiv(n0, B)
     nc0, nc1, nc2 = (n0 - 1) // 2, (n1 - 1) // 2, (n2 - 1) // 2
     nbc = pl.cdiv(nc0, 2)
-    grid = (max(nb + 2, 2 * nbc + 3),)
+    grid = ((max(nb + 2, 2 * nbc + 3),) if B == 2
+            else (max(nb + 1, nbc + 2),))
     kernel = functools.partial(
         _wavefront_kernel, c=stencil_vals, dinv=dinv,
         taps0=tuple(taps[0]), taps1=tuple(taps[1]),
-        n0=n0, n1=n1, n2=n2, nb=nb, nbc=nbc)
+        n0=n0, n1=n1, n2=n2, nb=nb, nbc=nbc, B=B)
     om = jnp.stack([jnp.asarray(omegas2[0], jnp.float32),
                     jnp.asarray(omegas2[1], jnp.float32)]).reshape(1, 2)
     rmat = jnp.asarray(restrict_lane_matrix(taps[2]))
@@ -262,11 +267,12 @@ def downleg_wavefront_3d(u, b, omegas2, stencil_vals, dinv, taps,
         ],
         out_specs=[
             pl.BlockSpec((B, n1, n2),
-                         lambda i: (jnp.clip(i - 2, 0, nb - 1), 0, 0),
+                         lambda i: (jnp.clip(i - 4 // B, 0, nb - 1), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, nc1, nc2),
-                         lambda i: (jnp.clip((i - 4) // 2, 0, nbc - 1),
-                                    0, 0),
+                         (lambda i: (jnp.clip((i - 4) // 2, 0, nbc - 1),
+                                     0, 0)) if B == 2 else
+                         (lambda i: (jnp.clip(i - 2, 0, nbc - 1), 0, 0)),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

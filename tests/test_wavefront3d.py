@@ -129,3 +129,21 @@ def test_wavefront_upleg_matches_leg3d(shape):
     assert u_wf.shape == u.shape
     np.testing.assert_allclose(np.asarray(u_wf), np.asarray(u_ref),
                                rtol=0, atol=2e-5)
+
+
+def test_wavefront_downleg_b4_matches_b2():
+    """B=4 (half the sequential grid steps) computes the same down-leg
+    as the shipped B=2 to f32 rounding (block-boundary masked-update
+    order differs, so not bitwise)."""
+    rng = np.random.default_rng(5)
+    shape = (33, 31, 35)
+    u = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    u2, rc2 = wavefront3d.downleg_wavefront_3d(
+        u, b, (1.15, 0.9), STENCIL, DINV, TAPS, interpret=True)
+    u4, rc4 = wavefront3d.downleg_wavefront_3d(
+        u, b, (1.15, 0.9), STENCIL, DINV, TAPS, interpret=True, block=4)
+    np.testing.assert_allclose(np.asarray(u4), np.asarray(u2),
+                               rtol=0, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(rc4), np.asarray(rc2),
+                               rtol=0, atol=2e-6)
