@@ -292,37 +292,40 @@ def downleg_wavefront_3d(u, b, omegas2, stencil_vals, dinv, taps,
 
 
 def _upleg_kernel(u_ref, e_ref, b_ref, om_ref, pm_ref, u_out_ref,
-                  t_e, t_pc, t_sr, t_b, *,
-                  c, dinv, taps0, taps1, n0, n1, n2, nc0, nb):
-    """Fine block pipeline (B=2): prolong+correct (lag 0), red half-sweep
-    (lag 1), black half-sweep (lag 2 planes = one block)."""
+                  t_e, t_pc, t_sr, t_b, t_out, *,
+                  c, dinv, taps0, taps1, n0, n1, n2, nc0, nb, B=_B):
+    """Fine block pipeline: prolong+correct (lag 0), red half-sweep
+    (lag 1), black half-sweep (lag 2 planes — one block at B=2; at B=4
+    the 2-plane lag straddles the block boundary, carried by the t_out
+    output tail)."""
     i = pl.program_id(0)
-    B = _B
     cc, cxm, cxp, cym, cyp, czm, czp = c
     dco = (cxm * dinv, cxp * dinv, cym * dinv, cyp * dinv,
            czm * dinv, czp * dinv)
 
     @pl.when(i == 0)
     def _init():
-        for t in (t_e, t_pc, t_sr, t_b):
+        for t in (t_e, t_pc, t_sr, t_b, t_out):
             t[:] = jnp.zeros_like(t)
 
     jb = i * B
+    E = B // 2          # coarse planes consumed per step
     g0_in = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1), 0) + jb
     valid_in = g0_in < n0
     u_blk = jnp.where(valid_in, u_ref[:].astype(jnp.float32), 0.0)
     b_blk = b_ref[:].astype(jnp.float32)
-    gc = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1), 0) + i
+    gc = jax.lax.broadcasted_iota(jnp.int32, (E, 1, 1), 0) + E * i
     e_blk = jnp.where(gc < nc0, e_ref[:].astype(jnp.float32), 0.0)
-    e_win = jnp.concatenate([t_e[:], e_blk], axis=0)   # coarse [i-1, i+1)
+    e_win = jnp.concatenate([t_e[:], e_blk], axis=0)   # coarse [Ei-1, Ei+E)
 
-    # ---- prolong + correct: fine planes [jb, jb+2), ic = i
+    # ---- prolong + correct: fine planes [jb, jb+B), ic = Ei..Ei+E-1
     # axis-0: fine 2ic <- w0p*e[ic-1] + w0m*e[ic]; fine 2ic+1 <- w00*e[ic]
     w0m, w00, w0p = taps0
-    a0 = jnp.stack([
-        w0p * e_win[0] + w0m * e_win[1],    # fine 2i
-        w00 * e_win[1],                     # fine 2i+1
-    ])                                                  # (2, nc1, nc2)
+    a0 = jnp.stack(
+        [w0p * e_win[0] + w0m * e_win[1], w00 * e_win[1]] if B == 2 else
+        [w0p * e_win[0] + w0m * e_win[1], w00 * e_win[1],
+         w0p * e_win[1] + w0m * e_win[2], w00 * e_win[2]]
+    )                                                   # (B, nc1, nc2)
     # axis-1 (sublane) interpolation, full extent
     w1m, w10, w1p = taps1
     nc1 = a0.shape[1]
@@ -366,9 +369,18 @@ def _upleg_kernel(u_ref, e_ref, b_ref, om_ref, pm_ref, u_out_ref,
     w1_ = jnp.concatenate([t_sr[:], s_r], axis=0)       # [jb-3, jb+1)
     s_b = halfsweep(w1_, b_avail[0:B], jb - 2, 1)       # [jb-2, jb)
 
-    @pl.when(jnp.logical_and(i >= 1, i <= nb))
-    def _store_u():
-        u_out_ref[:] = s_b.astype(u_out_ref.dtype)
+    if B == 2:
+        @pl.when(jnp.logical_and(i >= 1, i <= nb))
+        def _store_u():
+            u_out_ref[:] = s_b.astype(u_out_ref.dtype)
+    else:
+        # block (i-1) = planes [jb-4, jb): the carried t_out pair
+        # [jb-4, jb-2) plus this step's s_b[0:2] = [jb-2, jb)
+        @pl.when(jnp.logical_and(i >= 1, i <= nb))
+        def _store_u():
+            u_out_ref[:] = jnp.concatenate(
+                [t_out[:], s_b[0:2]], axis=0).astype(u_out_ref.dtype)
+        t_out[:] = s_b[2:4]
 
     t_e[:] = e_win[-1:]
     t_pc[:] = w0_[-2:]
@@ -377,7 +389,7 @@ def _upleg_kernel(u_ref, e_ref, b_ref, om_ref, pm_ref, u_out_ref,
 
 
 def upleg_wavefront_3d(u, e, b, omega_c, omega_s, stencil_vals, dinv,
-                       taps, interpret=False):
+                       taps, interpret=False, block=None):
     """Fused V-cycle up-leg for a constant 7-point operator:
     ``u' = RB(u + omega_c * P(e))`` — prolongation, coarse-grid
     correction, and ONE red-black post-smoothing sweep in a single
@@ -385,13 +397,19 @@ def upleg_wavefront_3d(u, e, b, omega_c, omega_s, stencil_vals, dinv,
     n0, n1, n2 = u.shape
     nc0, nc1, nc2 = e.shape
     assert (n0, n1, n2) == (2 * nc0 + 1, 2 * nc1 + 1, 2 * nc2 + 1)
-    B = _B
+    if block is None:
+        block = 4 if n1 * n2 * 4 * 40 <= 14 * 2 ** 20 else _B
+    B = block
+    if B not in (2, 4):
+        raise ValueError("wavefront up-leg supports B in {2, 4}")
+    E = B // 2
     nb = pl.cdiv(n0, B)
+    nbe = pl.cdiv(nc0, E)
     grid = (nb + 1,)
     pmat = jnp.asarray(prolong_lane_matrices(taps[2]))
     kernel = functools.partial(
         _upleg_kernel, c=stencil_vals, dinv=dinv, taps0=tuple(taps[0]),
-        taps1=tuple(taps[1]), n0=n0, n1=n1, n2=n2, nc0=nc0, nb=nb)
+        taps1=tuple(taps[1]), n0=n0, n1=n1, n2=n2, nc0=nc0, nb=nb, B=B)
     om = jnp.stack([jnp.asarray(omega_c, jnp.float32),
                     jnp.asarray(omega_s, jnp.float32)]).reshape(1, 2)
     plane = (n1, n2)
@@ -400,6 +418,7 @@ def upleg_wavefront_3d(u, e, b, omega_c, omega_s, stencil_vals, dinv,
         pltpu.VMEM((2,) + plane, jnp.float32),    # t_pc
         pltpu.VMEM((2,) + plane, jnp.float32),    # t_sr
         pltpu.VMEM((2,) + plane, jnp.float32),    # t_b
+        pltpu.VMEM((2,) + plane, jnp.float32),    # t_out (B=4 store tail)
     ]
     out = pl.pallas_call(
         kernel,
@@ -408,8 +427,8 @@ def upleg_wavefront_3d(u, e, b, omega_c, omega_s, stencil_vals, dinv,
             pl.BlockSpec((B, n1, n2),
                          lambda i: (jnp.minimum(i, nb - 1), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nc1, nc2),
-                         lambda i: (jnp.minimum(i, nc0 - 1), 0, 0),
+            pl.BlockSpec((E, nc1, nc2),
+                         lambda i: (jnp.minimum(i, nbe - 1), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, n1, n2),
                          lambda i: (jnp.minimum(i, nb - 1), 0, 0),

@@ -147,3 +147,18 @@ def test_wavefront_downleg_b4_matches_b2():
                                rtol=0, atol=2e-6)
     np.testing.assert_allclose(np.asarray(rc4), np.asarray(rc2),
                                rtol=0, atol=2e-6)
+
+
+def test_wavefront_upleg_b4_matches_b2():
+    rng = np.random.default_rng(9)
+    shape = (33, 31, 35)
+    nc = tuple((s - 1) // 2 for s in shape)
+    u = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    e = jnp.asarray(rng.standard_normal(nc), jnp.float32)
+    u2 = wavefront3d.upleg_wavefront_3d(u, e, b, 0.9, 1.15, STENCIL, DINV,
+                                        TAPS, interpret=True, block=2)
+    u4 = wavefront3d.upleg_wavefront_3d(u, e, b, 0.9, 1.15, STENCIL, DINV,
+                                        TAPS, interpret=True, block=4)
+    np.testing.assert_allclose(np.asarray(u4), np.asarray(u2),
+                               rtol=0, atol=2e-6)
