@@ -1052,6 +1052,12 @@ class _Lowering:
             u, b[0], (omegas[0], omegas[1]), vals, 1.0 / vals[0], taps,
             interpret=pallas_interpret(),
             block=_cfg.wavefront_downleg_block)
+        # keep the outputs out of XLA's output-in-VMEM placement: in
+        # shallow hierarchies XLA pinned the 8 MB rc buffer to memory
+        # space 1 as the coarse level's operand, blowing the kernel's
+        # 16 MB scoped budget by 0.6 MB at B=4 (same class of fix as
+        # ops/apply._axis_contract's barrier)
+        u_s, rc = jax.lax.optimization_barrier((u_s, rc))
         return ((u_s,), (rc,))
 
     def _run_post_fusion_3d(self, plan):
