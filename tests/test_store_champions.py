@@ -101,7 +101,7 @@ def test_stored_champions_reparse():
             from evostencils_tpu.problems.elasticity import (
                 linear_elasticity_2d)
             p = linear_elasticity_2d(max_level=8, min_level=4)
-            kw = {"coupled_fields": True}
+            kw = {}
         else:
             return None
         pset, _ = generate_primitive_set(
